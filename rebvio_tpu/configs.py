@@ -1,0 +1,154 @@
+"""Configuration dataclasses for the TPU-native REBVO pipeline.
+
+The reference implementation (baumlin/rebvio) configures each module with a
+default-initialized C++ struct (rebvio/include/rebvio/edge_detector.hpp:19-32,
+core.hpp:82-95, edge_map.hpp:19-26, types/imu.hpp:154-168) aggregated in
+``RebvioConfig`` (rebvio.hpp:29-33), with a hard-coded EuRoC cam0 calibration
+(camera.hpp:25-45).  Here every config is an immutable dataclass; the camera
+calibration is externalized (JSON/dict loadable) instead of hard-coded.
+
+All defaults reproduce the reference's EuRoC-tuned values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera + rad-tan distortion + camera->IMU extrinsics.
+
+    Defaults are the EuRoC MAV cam0 calibration hard-coded in the reference
+    (camera.hpp:25-45).  ``fm`` (mean focal length) is what the whole pipeline
+    uses downstream, matching ``Camera::fm_``.
+    """
+
+    fx: float = 458.654
+    fy: float = 457.296
+    cx: float = 367.215
+    cy: float = 248.375
+    k1: float = -0.28340811
+    k2: float = 0.07395907
+    k3: float = 0.0
+    p1: float = 0.00019359
+    p2: float = 1.76187114e-05
+    rows: int = 480
+    cols: int = 752
+    # Rotation/translation camera -> IMU (camera.hpp:41-44)
+    R_c2i: Tuple[float, ...] = (
+        0.0148655429818, -0.999880929698, 0.00414029679422,
+        0.999557249008, 0.0149672133247, 0.025715529948,
+        -0.0257744366974, 0.00375618835797, 0.999660727178,
+    )
+    t_c2i: Tuple[float, ...] = (-0.0216401454975, -0.064676986768, 0.00981073058949)
+
+    @property
+    def fm(self) -> float:
+        return 0.5 * (self.fx + self.fy)
+
+    def R_c2i_np(self) -> np.ndarray:
+        return np.asarray(self.R_c2i, dtype=np.float32).reshape(3, 3)
+
+    def t_c2i_np(self) -> np.ndarray:
+        return np.asarray(self.t_c2i, dtype=np.float32)
+
+    @staticmethod
+    def from_json(path: str) -> "CameraConfig":
+        with open(path, "r") as f:
+            d = json.load(f)
+        return CameraConfig(**d)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeDetectorConfig:
+    """DoG keyline detector parameters (edge_detector.hpp:19-32)."""
+
+    keylines_ref: int = 12000        # target keyline count for auto-gain
+    keylines_max: int = 16000        # hard cap (and static array size KMAX)
+    plane_fit_size: int = 2          # 5x5 plane-fit window radius
+    pos_neg_threshold: float = 0.4   # DoG positive/negative balance gate
+    dog_threshold: float = 0.095259868922420
+    threshold: float = 0.01          # initial manual threshold (auto-gained)
+    gain: float = 5e-7               # auto-gain toward keylines_ref (0 = off)
+    max_threshold: float = 0.5
+    min_threshold: float = 0.005
+    num_bins: int = 100              # histogram bins for auto-threshold
+    max_image_value: float = 765.0   # 255 * 3 input gain (edge_detector.cpp:21)
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeMapConfig:
+    """Keyline matching parameters (edge_map.hpp:19-26)."""
+
+    pixel_uncertainty_match: float = 2.0
+    match_threshold_norm: float = 1.0
+    match_threshold_angle: float = 45.0   # [deg]
+    regularization_threshold: float = 0.5
+
+    @property
+    def cang_min_edge(self) -> float:
+        return math.cos(self.match_threshold_angle * math.pi / 180.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class CoreConfig:
+    """Tracker / depth-filter parameters (core.hpp:82-95)."""
+
+    search_range: float = 40.0
+    reweight_distance: float = 2.0
+    match_threshold: float = 0.5
+    min_match_threshold: int = 0
+    iterations: int = 5
+    global_min_matches_threshold: int = 500
+    pixel_uncertainty: float = 1.0
+    quantile_cutoff: float = 0.9
+    quantile_num_bins: int = 100
+    reshape_q_abs: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    """IMU fusion / SAB filter noise parameters (types/imu.hpp:154-168)."""
+
+    g_norm: float = 9.81
+    g_uncertainty: float = 2e-3
+    g_norm_uncertainty: float = 0.2e3
+    acc_std_dev: float = 2.0e-3
+    gyro_std_dev: float = 1.6968e-04
+    gyro_bias_std_dev: float = 1.9393e-05
+    vbias_std_dev: float = 1e-7
+    scale_std_dev_mult: float = 1e-2
+    scale_std_dev_max: float = 1e-4
+    scale_std_dev_init: float = 1.2e-3
+    init_bias: int = 1               # 0: use guess, 1: estimate over window
+    init_bias_frame_num: int = 10
+    init_bias_guess: Tuple[float, float, float] = (0.0188, 0.0037, 0.0776)
+    sample_max: int = 32             # static per-frame IMU sample buffer size
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level aggregation (mirrors RebvioConfig, rebvio.hpp:29-33) plus
+    TPU-framework-specific switches that have no reference counterpart."""
+
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    detector: EdgeDetectorConfig = dataclasses.field(default_factory=EdgeDetectorConfig)
+    edge_map: EdgeMapConfig = dataclasses.field(default_factory=EdgeMapConfig)
+    core: CoreConfig = dataclasses.field(default_factory=CoreConfig)
+    imu: ImuConfig = dataclasses.field(default_factory=ImuConfig)
+    use_imu: bool = True             # False => vision-only VO (R prior = I)
+    image_gain: float = 3.0          # input intensity gain (rebvio.cpp:43)
+
+    @property
+    def kmax(self) -> int:
+        return self.detector.keylines_max

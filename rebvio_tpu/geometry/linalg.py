@@ -1,0 +1,50 @@
+"""Small fixed-size linear algebra helpers mirroring the reference's TooN use.
+
+The reference relies on a closed-form adjugate 3x3 inverse
+(types/definitions.hpp:40-53), TooN::Cholesky inverses for 6x6/7x7
+(core.cpp:198,277,384,403) and TooN::SVD backsubstitution (core.cpp:247,
+sab_estimator.cpp:31).  These are the jnp equivalents, all float32 and
+jit-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def invert3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of a 3x3 matrix (definitions.hpp:40-53)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    adj = jnp.stack(
+        [
+            jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    return adj / det[..., None, None]
+
+
+def chol_inverse(m: jnp.ndarray) -> jnp.ndarray:
+    """Inverse via Cholesky factorization (TooN::Cholesky::get_inverse).
+
+    Produces NaNs on non-positive-definite input, mirroring the reference's
+    unpivoted factorization failure mode.
+    """
+    L = jnp.linalg.cholesky(m)
+    eye = jnp.eye(m.shape[-1], dtype=m.dtype)
+    Linv = jnp.linalg.solve(L, eye)
+    return Linv.T @ Linv
+
+
+def svd_solve(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-9) -> jnp.ndarray:
+    """Least-squares solve via SVD with singular-value cutoff, mirroring
+    TooN::SVD::backsub's condition-number truncation."""
+    U, s, Vt = jnp.linalg.svd(A, full_matrices=False)
+    cutoff = rcond * jnp.max(s)
+    s_inv = jnp.where(s > cutoff, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    return Vt.T @ (s_inv * (U.T @ b))

@@ -1,0 +1,246 @@
+"""Keyline (edge) detection: fused gates + 5x5 plane fit + compaction.
+
+TPU-native rebuild of the reference detector (rebvio/src/edge_detector.cpp):
+the reference walks every pixel sequentially, applying a gradient-magnitude
+gate, a DoG positive/negative balance gate over a 5x5 window, a least-squares
+plane fit ``theta = Pinv * Y`` with a precomputed 3x25 pseudo-inverse, a
+subpixel zero-crossing gate, and a gradient-norm gate, emitting keylines in
+raster order capped at ``keylines_max`` (edge_detector.cpp:45-123).
+
+Here all gates evaluate as dense masked image ops.  The symmetric window makes
+Phi^T Phi diagonal (sum x = sum y = sum xy = 0), so the plane fit collapses to
+three separable correlations: theta = (sum x*dog / Sxx, sum y*dog / Syy,
+mean dog), evaluated as one 5x5 convolution with 3 output channels on the MXU.
+Raster-order compaction to the fixed [KMAX] SoA uses jnp.nonzero with a static
+size — which reproduces both the raster ordering and the keylines_max cutoff
+of the sequential emplace_back loop (edge_detector.cpp:110-119).
+
+Edge joining (edge_detector.cpp:125-165) becomes 3-neighbor gathers on the
+dense keyline-id image; the histogram auto-threshold (tuneThreshold,
+edge_detector.cpp:167-186) is reproduced including its skip-bin-0 loop quirk
+(documented in SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rebvio_tpu import types as T
+from rebvio_tpu.configs import CameraConfig, EdgeDetectorConfig
+from rebvio_tpu.ops.scale_space import ScaleSpaceParams
+
+
+def _plane_fit_kernel(pfs: int) -> jnp.ndarray:
+    """3-channel correlation kernel implementing theta = Pinv @ window.
+
+    Equivalent to the reference's Pinv = (Phi^T Phi)^-1 Phi^T with
+    Phi rows (x, y, 1) over the window (edge_detector.cpp:56-68).
+    """
+    n = 2 * pfs + 1
+    xs = jnp.arange(-pfs, pfs + 1, dtype=jnp.float32)
+    x = jnp.tile(xs[None, :], (n, 1))
+    y = jnp.tile(xs[:, None], (1, n))
+    sxx = jnp.sum(x * x)
+    syy = jnp.sum(y * y)
+    area = float(n * n)
+    k = jnp.stack([x / sxx, y / syy, jnp.ones((n, n), jnp.float32) / area], axis=-1)
+    return k  # [n, n, 3]
+
+
+def _correlate(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """'Same'-padded 2-D correlation, [H,W] x [kh,kw,C] -> [H,W,C]."""
+    kh, kw, c = kernel.shape
+    lhs = img[None, None, :, :]  # NCHW with C=1
+    rhs = jnp.transpose(kernel, (2, 0, 1))[:, None, :, :]  # OIHW
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(1, 1),
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return jnp.transpose(out[0], (1, 2, 0))  # [H,W,C]
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam", "ss"))
+def detect(
+    image: jnp.ndarray,
+    threshold: jnp.ndarray,
+    cfg: EdgeDetectorConfig,
+    cam: CameraConfig,
+    ss: ScaleSpaceParams,
+) -> T.EdgeMap:
+    """Detect keylines in a (already undistorted, gain-applied) float image.
+
+    ``threshold`` is the auto-gained detection threshold carried in VioState
+    (the auto-gain update itself happens in the pipeline, mirroring
+    edge_detector.cpp:33-36).
+    """
+    H, W = image.shape
+    pfs = cfg.plane_fit_size
+    kmax = cfg.keylines_max
+
+    s0, dog, mag = ss.build(image)
+
+    # --- dense gates (edge_detector.cpp:69-107) ---
+    n_win = (2 * pfs + 1) ** 2
+    pn_threshold = float(n_win) * cfg.pos_neg_threshold
+    gthr = threshold * cfg.max_image_value * cfg.dog_threshold
+    gradient_threshold_sq = gthr * gthr
+    mthr = threshold * cfg.max_image_value
+    mag_threshold = mthr * mthr
+
+    # positive/negative balance of DoG over the window
+    sign_map = jnp.where(dog > 0.0, 1.0, -1.0)
+    ones_k = jnp.ones((2 * pfs + 1, 2 * pfs + 1, 1), jnp.float32)
+    pn = _correlate(sign_map, ones_k)[..., 0]
+
+    # plane fit theta = (gx, gy, c)
+    theta = _correlate(dog, _plane_fit_kernel(pfs))
+    t0, t1, t2 = theta[..., 0], theta[..., 1], theta[..., 2]
+    g2 = t0 * t0 + t1 * t1
+    tmp = t2 / jnp.where(g2 > 0, g2, 1.0)
+    xs = -t0 * tmp
+    ys = -t1 * tmp
+
+    rr = jnp.arange(H, dtype=jnp.int32)[:, None]
+    cc = jnp.arange(W, dtype=jnp.int32)[None, :]
+    interior = (rr >= pfs) & (rr < H - pfs) & (cc >= pfs) & (cc < W - pfs)
+
+    cand = (
+        interior
+        & (mag >= mag_threshold)
+        & (jnp.abs(pn) <= pn_threshold)
+        & (jnp.abs(xs) <= 0.5)
+        & (jnp.abs(ys) <= 0.5)
+        & (g2 >= gradient_threshold_sq)
+        & (g2 > 0)
+    )
+
+    # --- raster-order compaction with keylines_max cutoff ---
+    flat_idx = jnp.nonzero(cand.reshape(-1), size=kmax, fill_value=-1)[0].astype(jnp.int32)
+    valid = flat_idx >= 0
+    count = jnp.minimum(jnp.sum(cand), kmax).astype(jnp.int32)
+    safe_idx = jnp.where(valid, flat_idx, 0)
+    prow = (safe_idx // W).astype(jnp.float32)
+    pcol = (safe_idx % W).astype(jnp.float32)
+    xs_k = xs.reshape(-1)[safe_idx]
+    ys_k = ys.reshape(-1)[safe_idx]
+    g0_k = t0.reshape(-1)[safe_idx]
+    g1_k = t1.reshape(-1)[safe_idx]
+
+    pos = jnp.stack([pcol + xs_k, prow + ys_k], axis=-1)
+    pos = jnp.where(valid[:, None], pos, 0.0)
+    grad = jnp.where(valid[:, None], jnp.stack([g0_k, g1_k], axis=-1), 0.0)
+    grad_norm = jnp.sqrt(jnp.sum(grad * grad, axis=-1))
+    pos_img = pos - jnp.array([cam.cx, cam.cy], jnp.float32)
+    pos_img = jnp.where(valid[:, None], pos_img, 0.0)
+
+    # dense id image (detector's keylines_mask_, edge_detector.hpp:86)
+    scatter_idx = jnp.where(valid, safe_idx, H * W)  # out-of-range -> dropped
+    kl_id_img = (
+        jnp.full((H * W,), -1, jnp.int32)
+        .at[scatter_idx]
+        .set(jnp.arange(kmax, dtype=jnp.int32), mode="drop")
+        .reshape(H, W)
+    )
+
+    # --- edge joining (edge_detector.cpp:125-165) ---
+    id_next, id_prev = _join_edges(pos, grad, valid, kl_id_img)
+
+    # --- auto-threshold from gradient-norm histogram (tuneThreshold) ---
+    map_threshold = _tune_threshold(grad_norm, valid, count, cfg)
+
+    em = T.empty_edge_map(kmax, H, W)
+    return em.replace(
+        pos=pos, pos_img=pos_img, match_pos_img=pos_img,
+        grad=grad, grad_norm=grad_norm,
+        rho=jnp.full((kmax,), T.RHO_INIT, jnp.float32),
+        sigma_rho=jnp.full((kmax,), T.SIGMA_RHO_INIT, jnp.float32),
+        id_prev=id_prev, id_next=id_next,
+        valid=valid, count=count, kl_id_img=kl_id_img,
+        threshold=map_threshold,
+    )
+
+
+def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Link keylines along the edge tangent (perpendicular to gradient) by
+    probing 3 neighbors in the reference's priority order
+    (edge_detector.cpp:138-165)."""
+    H, W = kl_id_img.shape
+    kmax = pos.shape[0]
+    x = (pos[:, 0] + 0.5).astype(jnp.int32)
+    y = (pos[:, 1] + 0.5).astype(jnp.int32)
+    tx = -grad[:, 1]
+    ty = grad[:, 0]
+
+    def probe(dy, dx):
+        yy = jnp.clip(y + dy, 0, H - 1)
+        xx = jnp.clip(x + dx, 0, W - 1)
+        return kl_id_img[yy, xx]
+
+    z = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    # Neighbor offsets per quadrant of the tangent direction.
+    sx = jnp.where(tx > 0, one, -one)
+    sy = jnp.where(ty > 0, one, -one)
+    # ty>0: probes (0,sx), (1,0), (1,sx); ty<=0: (0,sx'), (-1,0), (-1,sx')
+    # where for ty<=0 the x sign logic flips: tx<0 -> -1 else +1.
+    sx_neg = jnp.where(tx < 0, -one, one)
+    px = jnp.where(ty > 0, sx, sx_neg)
+    py = jnp.where(ty > 0, one, -one)
+
+    c1 = probe(z, px)        # (y, x+px)
+    c2 = probe(py, z)        # (y+py, x)
+    c3 = probe(py, px)       # (y+py, x+px)
+    id_next = jnp.where(c1 >= 0, c1, jnp.where(c2 >= 0, c2, c3))
+    id_next = jnp.where(valid, id_next, -1)
+
+    # id_prev[target] = idx of the keyline that claimed it; later idx wins,
+    # matching the sequential overwrite in joinEdges (edge_detector.cpp:133).
+    tgt = jnp.where(id_next >= 0, id_next, kmax)
+    id_prev = (
+        jnp.full((kmax,), -1, jnp.int32)
+        .at[tgt]
+        .max(jnp.arange(kmax, dtype=jnp.int32), mode="drop")
+    )
+    return id_next, id_prev
+
+
+def _tune_threshold(grad_norm, valid, count, cfg: EdgeDetectorConfig) -> jnp.ndarray:
+    """Histogram auto-threshold over keyline gradient norms.
+
+    Reproduces tuneThreshold (edge_detector.cpp:167-186) including the loop
+    quirk in which bin 0 is never accumulated (the increment clause advances
+    ``i`` before adding ``histogram[i]``): the selected bin index is
+    i* = min(num_bins, first i >= 1 with sum(hist[1..i]) >= keylines_max),
+    and the returned threshold is max_dog - i* * (max_dog - min_dog) / bins.
+    """
+    nb = cfg.num_bins
+    big = jnp.float32(3.4e38)
+    gn = jnp.where(valid, grad_norm, -big)
+    max_dog = jnp.max(gn)
+    gn2 = jnp.where(valid, grad_norm, big)
+    min_dog = jnp.min(gn2)
+    rng = jnp.where(max_dog > min_dog, max_dog - min_dog, 1.0)
+    bins = (nb * (max_dog - grad_norm) / rng).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, nb - 1)
+    hist = jnp.zeros((nb,), jnp.int32).at[jnp.where(valid, bins, nb)].add(1, mode="drop")
+    # cumulative over bins 1..i (bin 0 skipped by the reference's quirk)
+    csum = jnp.cumsum(hist.at[0].set(0))
+    reached = csum >= cfg.keylines_max
+    first = jnp.argmax(reached)  # 0 if none reached
+    i_star = jnp.where(jnp.any(reached), first, nb).astype(jnp.float32)
+    return max_dog - i_star * (max_dog - min_dog) / jnp.float32(nb)
+
+
+def autogain_threshold(threshold, keylines_count, cfg: EdgeDetectorConfig):
+    """Proportional threshold controller toward keylines_ref
+    (edge_detector.cpp:33-36), as carried scalar state."""
+    if cfg.gain <= 0:
+        return threshold
+    t = threshold - cfg.gain * (cfg.keylines_ref - keylines_count.astype(jnp.float32))
+    return jnp.clip(t, cfg.min_threshold, cfg.max_threshold)

@@ -1,0 +1,274 @@
+"""Edge-map operations: rotation, quantile, forward/directed matching,
+depth regularization.
+
+TPU-native rebuild of rebvio/src/edge_map.cpp.  Every sequential per-keyline
+loop becomes a masked vector op over the fixed [KMAX] SoA; the sequential
+winner rules of forwardMatch and the first-hit rule of the epipolar search
+are reproduced with scatter-max / priority-argmin reductions (see each
+function's docstring for the exact correspondence).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rebvio_tpu import types as T
+from rebvio_tpu.configs import CameraConfig, CoreConfig, EdgeMapConfig
+
+_F32_MAX = 3.4028235e38
+
+
+def rotate_keylines(em: T.EdgeMap, R: jnp.ndarray, fm: float) -> T.EdgeMap:
+    """Forward-rotate keyline positions, gradients and inverse depth
+    (edge_map.cpp:58-71).  gradient_norm is deliberately NOT recomputed,
+    matching the reference (which keeps the stale pre-rotation norm)."""
+    x = em.pos_img[:, 0] / fm
+    y = em.pos_img[:, 1] / fm
+    q = jnp.stack([x, y, jnp.ones_like(x)], axis=-1) @ R.T  # [K,3]
+    qz = q[:, 2]
+    ok = jnp.abs(qz) > 0.0
+    qz_safe = jnp.where(ok, qz, 1.0)
+    new_pos_img = jnp.stack([q[:, 0] / qz_safe * fm, q[:, 1] / qz_safe * fm], axis=-1)
+    pos_img = jnp.where(ok[:, None], new_pos_img, em.pos_img)
+    rho = jnp.where(ok, em.rho / qz_safe, em.rho)
+    sigma_rho = jnp.where(ok, em.sigma_rho / qz_safe, em.sigma_rho)
+    g = jnp.stack([em.grad[:, 0], em.grad[:, 1], jnp.zeros_like(x)], axis=-1) @ R.T
+    grad = g[:, :2]
+    return em.replace(pos_img=pos_img, rho=rho, sigma_rho=sigma_rho, grad=grad)
+
+
+def estimate_quantile(em: T.EdgeMap, percentile: float, num_bins: int) -> jnp.ndarray:
+    """sigma_rho histogram percentile (edge_map.cpp:39-56): returns the lower
+    edge of the first bin whose *preceding* cumulative count exceeds
+    percentile * size (the reference checks before accumulating the bin)."""
+    span = T.RHO_MAX - T.RHO_MIN
+    b = (num_bins * (em.sigma_rho - T.RHO_MIN) / span).astype(jnp.int32)
+    b = jnp.clip(b, 0, num_bins - 1)
+    hist = jnp.zeros((num_bins,), jnp.int32).at[jnp.where(em.valid, b, num_bins)].add(1, mode="drop")
+    csum = jnp.cumsum(hist)
+    prefix = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum[:-1]])
+    cut = percentile * em.count.astype(jnp.float32)
+    found = prefix.astype(jnp.float32) > cut
+    i = jnp.argmax(found)
+    val = i.astype(jnp.float32) * span / num_bins + T.RHO_MIN
+    return jnp.where(jnp.any(found), val, jnp.float32(1e3))
+
+
+def forward_match(old: T.EdgeMap, new: T.EdgeMap) -> Tuple[T.EdgeMap, jnp.ndarray]:
+    """Propagate depth from old (rotated) keylines into the new map via the
+    forward matches found by the tracker (edge_map.cpp:73-99).
+
+    The reference's sequential overwrite rule — skip if the target is already
+    matched with larger rho — selects, per target, the candidate with maximum
+    rho, ties broken by the largest keyline index.  Implemented as a
+    scatter-max of rho followed by a scatter-max of index among the argmax
+    candidates.
+    """
+    kmax = new.kmax
+    cand = old.valid & (old.match_id_forward >= 0)
+    tgt = jnp.where(cand, old.match_id_forward, kmax)
+    neg = jnp.float32(-_F32_MAX)
+    max_rho = jnp.full((kmax,), neg, jnp.float32).at[tgt].max(
+        jnp.where(cand, old.rho, neg), mode="drop"
+    )
+    is_best = cand & (old.rho >= max_rho[jnp.clip(tgt, 0, kmax - 1)]) & (tgt < kmax)
+    win = (
+        jnp.full((kmax,), -1, jnp.int32)
+        .at[jnp.where(is_best, tgt, kmax)]
+        .max(jnp.arange(kmax, dtype=jnp.int32), mode="drop")
+    )
+    matched = win >= 0
+    w = jnp.clip(win, 0, kmax - 1)
+    new = new.replace(
+        rho=jnp.where(matched, old.rho[w], new.rho),
+        sigma_rho=jnp.where(matched, old.sigma_rho[w], new.sigma_rho),
+        matches=jnp.where(matched, old.matches[w] + 1, new.matches),
+        match_id=jnp.where(matched, win, new.match_id),
+        match_pos_img=jnp.where(matched[:, None], old.pos_img[w], new.match_pos_img),
+        match_grad=jnp.where(matched[:, None], old.grad[w], new.match_grad),
+        match_grad_norm=jnp.where(matched, old.grad_norm[w], new.match_grad_norm),
+        match_id_keyframe=jnp.where(matched, old.match_id_keyframe[w], new.match_id_keyframe),
+    )
+    return new, jnp.sum(matched).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "core_cfg", "cam"))
+def directed_match(
+    new: T.EdgeMap,
+    old: T.EdgeMap,
+    vel: jnp.ndarray,
+    Rvel: jnp.ndarray,
+    Rback: jnp.ndarray,
+    cfg: EdgeMapConfig,
+    core_cfg: CoreConfig,
+    cam: CameraConfig,
+) -> Tuple[T.EdgeMap, jnp.ndarray]:
+    """Match every new keyline back into the old map along the epipolar
+    (translation-induced) direction (edge_map.cpp:101-218).
+
+    The reference walks t outward from the predicted disparity dq_rho,
+    alternating negative (tn) / positive (tp) sides, and returns the first
+    candidate passing the gradient-similarity and depth-consistency gates.
+    Here the walk is a static J-step enumeration of the integer-offset grid
+    {dq_rho + m}, each candidate scored with the reference's visit priority
+    (2k for the tn side, 2k+1 for tp); the winner is the priority-argmin of
+    the surviving candidates — identical to first-hit order.
+    """
+    kmax = new.kmax
+    H, W = old.kl_id_img.shape
+    fm = cam.fm
+    max_radius = core_cfg.search_range
+    pum = cfg.pixel_uncertainty_match
+    cang_min = math.cos(cfg.match_threshold_angle * math.pi / 180.0)
+    # static walk bound: window width <= 2*(max_radius+pum)+1 (zero-vel branch)
+    JMAX = int(2 * (max_radius + pum) + 4)
+
+    vel_b = Rback @ vel
+    Rvel_b = Rback @ Rvel @ Rback.T
+
+    # --- per-keyline epipolar geometry (edge_map.cpp:106-149) ---
+    p = jnp.concatenate(
+        [new.pos_img, jnp.full((kmax, 1), fm, jnp.float32)], axis=-1
+    ) @ Rback.T  # [K,3]
+    pz = jnp.where(p[:, 2] != 0, p[:, 2], 1e-20)
+    pmx = p[:, 0] * fm / pz
+    pmy = p[:, 1] * fm / pz
+    k_rho = new.rho * fm / pz
+    pi0x = pmx + cam.cx
+    pi0y = pmy + cam.cy
+
+    t_x = -(vel_b[0] * fm - vel_b[2] * pmx)
+    t_y = -(vel_b[1] * fm - vel_b[2] * pmy)
+    norm_t = jnp.sqrt(t_x * t_x + t_y * t_y)
+
+    DrDv = jnp.stack([jnp.full_like(pmx, fm), jnp.full_like(pmx, fm), -(pmx + pmy)], axis=-1)
+    sigma2_t = jnp.einsum("ki,ij,kj->k", DrDv, Rvel_b, DrDv)
+
+    main = norm_t > 1e-6
+    nt_safe = jnp.where(main, norm_t, 1.0)
+    # main branch
+    tx_m = t_x / nt_safe
+    ty_m = t_y / nt_safe
+    dq_rho_m = norm_t * k_rho
+    dq_min_m = jnp.maximum(0.0, norm_t * (k_rho - new.sigma_rho)) - pum
+    dq_max_m = jnp.minimum(max_radius, norm_t * (k_rho + new.sigma_rho)) + pum
+    over = dq_rho_m > dq_max_m
+    dq_rho_m2 = jnp.where(over, 0.5 * (dq_max_m + dq_min_m), dq_rho_m)
+    t_steps_m = jnp.where(
+        over,
+        (dq_rho_m2 + 0.5).astype(jnp.int32),
+        jnp.maximum(dq_max_m - dq_rho_m2, dq_rho_m2 - dq_min_m).astype(jnp.int32),
+    )
+    # zero-velocity branch (edge_map.cpp:138-149)
+    gn_safe = jnp.where(new.grad_norm > 0, new.grad_norm, 1.0)
+    tx_z = new.grad[:, 0] / gn_safe
+    ty_z = new.grad[:, 1] / gn_safe
+    dq_min_z = jnp.full((kmax,), -max_radius - pum, jnp.float32)
+    dq_max_z = jnp.full((kmax,), max_radius + pum, jnp.float32)
+
+    tx = jnp.where(main, tx_m, tx_z)
+    ty = jnp.where(main, ty_m, ty_z)
+    nt_eff = jnp.where(main, norm_t, 1.0)
+    dq_rho = jnp.where(main, dq_rho_m2, 0.0)
+    dq_min = jnp.where(main, dq_min_m, dq_min_z)
+    dq_max = jnp.where(main, dq_max_m, dq_max_z)
+    t_steps = jnp.where(main, t_steps_m, dq_max_z.astype(jnp.int32))
+
+    # --- static enumeration of candidate t values ---
+    # visited t = dq_rho + m; tn side m in (-t_steps, 0], tp side m in [1, t_steps]
+    m0 = jnp.ceil(dq_min - dq_rho)  # smallest admissible integer offset
+    j = jnp.arange(JMAX, dtype=jnp.float32)[None, :]           # [1,J]
+    m = m0[:, None] + j                                        # [K,J]
+    t = dq_rho[:, None] + m
+    visited = jnp.where(
+        m <= 0,
+        -m <= (t_steps[:, None].astype(jnp.float32) - 1.0),
+        m <= t_steps[:, None].astype(jnp.float32),
+    )
+    in_window = (t >= dq_min[:, None]) & (t <= dq_max[:, None])
+    prio = jnp.where(m <= 0, -2.0 * m, 2.0 * m - 1.0)
+
+    # candidate pixel + old-map keyline lookup
+    cx_pix = tx[:, None] * t + pi0x[:, None]
+    cy_pix = ty[:, None] * t + pi0y[:, None]
+    col = (jnp.sign(cx_pix) * jnp.floor(jnp.abs(cx_pix) + 0.5)).astype(jnp.int32)
+    row = (jnp.sign(cy_pix) * jnp.floor(jnp.abs(cy_pix) + 0.5)).astype(jnp.int32)
+    inb = (row >= 0) & (row < H) & (col >= 0) & (col < W)
+    oid = jnp.where(inb, old.kl_id_img[jnp.clip(row, 0, H - 1), jnp.clip(col, 0, W - 1)], -1)
+    has = oid >= 0
+    os = jnp.clip(oid, 0, kmax - 1)
+
+    # gradient similarity gates (edge_map.cpp:171-172)
+    g_old = old.grad[os]          # [K,J,2]
+    gn_old = old.grad_norm[os]
+    gdot = g_old[..., 0] * new.grad[:, None, 0] + g_old[..., 1] * new.grad[:, None, 1]
+    denom = jnp.where(gn_old * new.grad_norm[:, None] > 0, gn_old * new.grad_norm[:, None], 1.0)
+    cang = gdot / denom
+    gate_ang = cang >= cang_min
+    gate_norm = jnp.abs(gn_old / jnp.where(new.grad_norm[:, None] > 0, new.grad_norm[:, None], 1.0) - 1.0) <= cfg.match_threshold_norm
+
+    # depth-consistency gate (edge_map.cpp:174-175)
+    rho_old = old.rho[os]
+    sr_old = old.sigma_rho[os]
+    v_rho_dr = pum * pum + sr_old * sr_old * nt_eff[:, None] ** 2 + sigma2_t[:, None] * rho_old * rho_old
+    resid = t - nt_eff[:, None] * rho_old
+    gate_depth = ~(resid * resid > v_rho_dr)  # NaN-tolerant: NaN -> pass
+
+    ok = new.valid[:, None] & visited & in_window & has & gate_ang & gate_norm & gate_depth
+    prio_masked = jnp.where(ok, prio, jnp.float32(1e9))
+    best_j = jnp.argmin(prio_masked, axis=1)
+    found = jnp.take_along_axis(ok, best_j[:, None], axis=1)[:, 0]
+    match = jnp.where(found, jnp.take_along_axis(oid, best_j[:, None], axis=1)[:, 0], -1)
+
+    ms = jnp.clip(match, 0, kmax - 1)
+    new = new.replace(
+        rho=jnp.where(found, old.rho[ms], new.rho),
+        sigma_rho=jnp.where(found, old.sigma_rho[ms], new.sigma_rho),
+        match_id=jnp.where(found, match, new.match_id),
+        matches=jnp.where(found, old.matches[ms] + 1, new.matches),
+        match_pos_img=jnp.where(found[:, None], old.pos_img[ms], new.match_pos_img),
+        match_grad=jnp.where(found[:, None], old.grad[ms], new.match_grad),
+        match_grad_norm=jnp.where(found, old.grad_norm[ms], new.match_grad_norm),
+        match_id_keyframe=jnp.where(found, old.match_id_keyframe[ms], new.match_id_keyframe),
+    )
+    return new, jnp.sum(found).astype(jnp.int32)
+
+
+def regularize_1iter(em: T.EdgeMap, threshold: float) -> T.EdgeMap:
+    """One Jacobi-style depth regularization pass (edge_map.cpp:220-259).
+
+    The reference computes all updates from the pre-pass values and applies
+    them afterwards (two-phase), which is exactly a parallel masked update.
+    """
+    kmax = em.kmax
+    has_nb = em.valid & (em.id_next >= 0) & (em.id_prev >= 0)
+    nx = jnp.clip(em.id_next, 0, kmax - 1)
+    pv = jnp.clip(em.id_prev, 0, kmax - 1)
+    rn, rp = em.rho[nx], em.rho[pv]
+    sn, sp = em.sigma_rho[nx], em.sigma_rho[pv]
+    test1 = (rn - rp) ** 2 <= (sn * sn + sp * sp)
+    gn_, gp_ = em.grad[nx], em.grad[pv]
+    gnn, gnp_ = em.grad_norm[nx], em.grad_norm[pv]
+    denom = jnp.where(gnn * gnp_ > 0, gnn * gnp_, 1.0)
+    alpha = (gn_[:, 0] * gp_[:, 0] + gn_[:, 1] * gp_[:, 1]) / denom
+    test2 = alpha >= threshold
+    apply = has_nb & test1 & test2
+
+    alpha2 = (alpha - threshold) / (1.0 - threshold)
+    alpha2 = alpha2 / (jnp.abs(rn - rp) / jnp.where(sn + sp > 0, sn + sp, 1.0) + 1.0)
+    sr_safe = jnp.where(em.sigma_rho > 0, em.sigma_rho, 1.0)
+    wr = 1.0 / (sr_safe * sr_safe)
+    wrn = alpha2 / jnp.where(sn > 0, sn * sn, 1.0)
+    wrp = alpha2 / jnp.where(sp > 0, sp * sp, 1.0)
+    wsum = wr + wrn + wrp
+    r_new = (em.rho * wr + rn * wrn + rp * wrp) / wsum
+    s_new = (em.sigma_rho * wr + sn * wrn + sp * wrp) / wsum
+    return em.replace(
+        rho=jnp.where(apply, r_new, em.rho),
+        sigma_rho=jnp.where(apply, s_new, em.sigma_rho),
+    )

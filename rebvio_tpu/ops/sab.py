@@ -1,0 +1,189 @@
+"""Scale/Attitude/Bias nonlinear MAP estimator (7-state Gauss-Newton).
+
+TPU-native rebuild of ``SABEstimator`` (rebvio/src/sab_estimator.cpp) and the
+surrounding Kalman predict/update of ``Core::estimateBias``
+(core.cpp:349-414).  The filter estimates X = [alpha, g(3), b(3)]: gravity
+direction g, scale angle alpha (metric scale K = tan(alpha)), and visual
+rotation bias b, by fusing the visually-derived acceleration a_v against the
+accelerometer-derived a_s (Eq. 40 of Tarrio & Pedre 2017).
+
+All matrices are tiny (7x7 / 11x11) dense float32 algebra inside the jitted
+step — exactly the kind of op XLA fuses for free; no kernel needed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rebvio_tpu.geometry import linalg, so3
+
+
+class SabProblem(NamedTuple):
+    a_v: jnp.ndarray   # [3] visual acceleration
+    a_s: jnp.ndarray   # [3] gravity-corrected acceleration
+    G: jnp.ndarray     # [] gravity norm
+    x_p: jnp.ndarray   # [7] prior state
+    Pp: jnp.ndarray    # [7,7] prior covariance
+    Rv: jnp.ndarray    # [3,3] visual acceleration noise
+    Rs: jnp.ndarray    # [3,3] accelerometer noise
+    Rg: jnp.ndarray    # [] gravity-norm noise
+
+
+def sab_problem(p: SabProblem, X: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build (JtJ, JtF) of the weighted 11-D residual at X
+    (sab_estimator.cpp:40-165), including the dW/da terms from the
+    alpha-dependent measurement covariance."""
+    a = X[0]
+    g = X[1:4]
+    b = X[4:7]
+    sa, ca = jnp.sin(a), jnp.cos(a)
+
+    F = jnp.zeros((11,), jnp.float32)
+    F = F.at[0:3].set((p.a_s + g) * ca - p.a_v * sa)
+    F = F.at[3].set(jnp.dot(g, g) - p.G * p.G)
+    da = X[0] - p.x_p[0]
+    da = jnp.where(da > jnp.pi, da - 2 * jnp.pi, jnp.where(da < -jnp.pi, da + 2 * jnp.pi, da))
+    F = F.at[4].set(da)
+    Rb = so3.exp(b)
+    Rg_vec = Rb @ g
+    F = F.at[5:8].set(Rg_vec - p.x_p[1:4])
+    F = F.at[8:11].set(b - p.x_p[4:7])
+
+    dFda = jnp.zeros((11,), jnp.float32)
+    dFda = dFda.at[0:3].set(-(p.a_s + g) * sa - p.a_v * ca)
+    dFda = dFda.at[4].set(1.0)
+
+    # dF/d[g, b]  (11x6)
+    Gx = jnp.array(
+        [
+            [0.0, Rg_vec[2], -Rg_vec[1]],
+            [-Rg_vec[2], 0.0, Rg_vec[0]],
+            [Rg_vec[1], -Rg_vec[0], 0.0],
+        ],
+        jnp.float32,
+    )
+    dFdx1 = jnp.zeros((11, 6), jnp.float32)
+    dFdx1 = dFdx1.at[0:3, 0:3].set(jnp.eye(3, dtype=jnp.float32) * ca)
+    dFdx1 = dFdx1.at[3, 0:3].set(2.0 * g)
+    dFdx1 = dFdx1.at[5:8, 0:3].set(Rb)
+    dFdx1 = dFdx1.at[5:8, 3:6].set(Gx)
+    dFdx1 = dFdx1.at[8:11, 3:6].set(jnp.eye(3, dtype=jnp.float32))
+
+    Pz = sa * sa * p.Rv + ca * ca * p.Rs
+    P = jnp.zeros((11, 11), jnp.float32)
+    P = P.at[0:3, 0:3].set(Pz)
+    P = P.at[3, 3].set(p.Rg)
+    P = P.at[4:11, 4:11].set(p.Pp)
+
+    W = jnp.zeros((11, 11), jnp.float32)
+    W = W.at[0:3, 0:3].set(linalg.chol_inverse(Pz))
+    W = W.at[3, 3].set(1.0 / p.Rg)
+    W = W.at[4:11, 4:11].set(linalg.chol_inverse(p.Pp))
+
+    dPda = jnp.zeros((11, 11), jnp.float32)
+    dPda = dPda.at[0:3, 0:3].set(2.0 * sa * ca * (p.Rv - p.Rs))
+    dWda = -W @ dPda @ W
+
+    JtJ = jnp.zeros((7, 7), jnp.float32)
+    j00 = 0.25 * F @ dWda @ P @ dWda @ F + dFda @ dWda @ F + dFda @ W @ dFda
+    col = 0.5 * dFdx1.T @ dWda @ F + dFdx1.T @ W @ dFda
+    JtJ = JtJ.at[0, 0].set(j00)
+    JtJ = JtJ.at[1:, 0].set(col)
+    JtJ = JtJ.at[0, 1:].set(col)
+    JtJ = JtJ.at[1:, 1:].set(dFdx1.T @ W @ dFdx1)
+
+    JtF = jnp.zeros((7,), jnp.float32)
+    JtF = JtF.at[0].set(0.5 * F @ dWda @ F + dFda @ W @ F)
+    JtF = JtF.at[1:].set(dFdx1.T @ W @ F)
+    return JtJ, JtF
+
+
+_BIAS_SAT = 5e-1 / 25  # saturation limit on b (sab_estimator.cpp:34)
+
+
+def sab_gauss_newton(p: SabProblem, X0: jnp.ndarray, iters: int = 20) -> jnp.ndarray:
+    """Fixed-iteration Gauss-Newton with SVD solve, angle wrapping and bias
+    saturation (sab_estimator.cpp:21-38).  The reference's default tolerances
+    are zero, so it always runs the full iteration count."""
+
+    def body(X, _):
+        JtJ, JtF = sab_problem(p, X)
+        h = linalg.svd_solve(JtJ, -JtF)
+        X = X + h
+        X = X.at[0].set(jnp.arctan2(jnp.sin(X[0]), jnp.cos(X[0])))
+        X = X.at[4:7].set(jnp.clip(X[4:7], -_BIAS_SAT, _BIAS_SAT))
+        return X, None
+
+    X, _ = jax.lax.scan(body, X0, None, length=iters)
+    return X
+
+
+class EstimateBiasOut(NamedTuple):
+    K: jnp.ndarray       # [] metric scale tan(alpha)
+    X: jnp.ndarray       # [7] posterior state
+    P: jnp.ndarray       # [7,7] posterior covariance
+    g_est: jnp.ndarray   # [3]
+    b_est: jnp.ndarray   # [3]
+    Xvw: jnp.ndarray     # [6] bias-refused rigid transform correction
+
+
+def estimate_bias(
+    a_s: jnp.ndarray,
+    a_v: jnp.ndarray,
+    kP: jnp.ndarray,
+    Rot: jnp.ndarray,
+    X: jnp.ndarray,
+    P: jnp.ndarray,
+    Qg: jnp.ndarray,
+    Qrot: jnp.ndarray,
+    Qbias: jnp.ndarray,
+    QKp: jnp.ndarray,
+    Rg: jnp.ndarray,
+    Rs: jnp.ndarray,
+    Rv: jnp.ndarray,
+    Wvw: jnp.ndarray,
+    Xvw: jnp.ndarray,
+    g_gravit: jnp.ndarray,
+) -> EstimateBiasOut:
+    """7-state KF predict + SAB Gauss-Newton update + re-fusion of the rigid
+    transform with the bias information (core.cpp:349-414)."""
+    # --- predict (core.cpp:355-373) ---
+    F = jnp.zeros((7, 7), jnp.float32)
+    F = F.at[0, 0].set(kP)
+    F = F.at[1:4, 1:4].set(Rot.T)
+    F = F.at[4:7, 4:7].set(jnp.eye(3, dtype=jnp.float32))
+
+    g = X[1:4]
+    GProd = jnp.array(
+        [[0.0, g[2], -g[1]], [-g[2], 0.0, g[0]], [g[1], -g[0], 0.0]], jnp.float32
+    )
+    tan_a = jnp.tan(X[0])
+    Q = jnp.zeros((7, 7), jnp.float32)
+    Q = Q.at[0, 0].set(QKp / (1.0 + tan_a * tan_a))
+    Q = Q.at[1:4, 1:4].set(GProd.T @ Qrot @ GProd + Qg)
+    Q = Q.at[4:7, 4:7].set(Qbias)
+
+    X = F @ X
+    Pp = F @ P @ F.T + Q
+
+    # --- nonlinear posterior (core.cpp:376-384) ---
+    prob = SabProblem(a_v=a_v, a_s=a_s, G=g_gravit, x_p=X, Pp=Pp, Rv=Rv, Rs=Rs, Rg=Rg)
+    X = sab_gauss_newton(prob, X, 20)
+    JtJ, _ = sab_problem(prob, X)
+    P = linalg.chol_inverse(JtJ)
+
+    k = jnp.tan(X[0])
+    k = jnp.where((k < 0) | ~jnp.isfinite(k), 0.0, k)
+    g_est = X[1:4]
+    b_est = X[4:7]
+
+    # --- re-fuse rigid transform with bias information (core.cpp:394-405) ---
+    WVBias = JtJ[4:7, 4:7]
+    Wb = jnp.zeros((6, 6), jnp.float32).at[3:, 3:].set(WVBias)
+    wc = Xvw[3:6] - b_est
+    WXc = jnp.zeros((6,), jnp.float32).at[3:].set(WVBias @ wc)
+    Xc = linalg.chol_inverse(Wb + Wvw) @ (Wvw @ Xvw + WXc)
+    return EstimateBiasOut(K=k, X=X, P=P, g_est=g_est, b_est=b_est, Xvw=Xc)
