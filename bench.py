@@ -1,0 +1,77 @@
+"""Benchmark: full-resolution VIO frames/s on one TPU chip.
+
+Runs the complete per-frame step (undistorted full-res EuRoC-shaped frames,
+16k keylines, full VIO path) on synthetic wireframe imagery with all inputs
+device-resident, and reports steady-state frames/s.
+
+vs_baseline: the reference publishes no benchmark numbers (BASELINE.md); its
+operating claim is real-time at the EuRoC camera rate of 20 fps on CPU
+(README "Realtime", 752x480 @ 20 Hz hard-coded).  vs_baseline is therefore
+frames/s / 20.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rebvio_tpu import types as T
+    from rebvio_tpu.configs import PipelineConfig
+    from rebvio_tpu.data import synthetic
+    from rebvio_tpu.ops.imu import pack_imu_window
+    from rebvio_tpu.pipeline import step
+
+    config = PipelineConfig()
+    cam = config.camera
+
+    n_frames = 8
+    seq = synthetic.generate(cam, n_frames=n_frames, seed=0)
+    frames = [jnp.asarray(seq.images[i] * config.image_gain) for i in range(n_frames)]
+
+    # IMU windows per frame
+    windows = []
+    cursor = 0
+    for i in range(n_frames):
+        j = cursor
+        while j < len(seq.imu_ts_us) and seq.imu_ts_us[j] <= seq.ts_us[i]:
+            j += 1
+        windows.append(
+            pack_imu_window(
+                seq.imu_gyro[cursor:j], seq.imu_acc[cursor:j],
+                seq.imu_ts_us[cursor:j], config.imu.sample_max,
+            )
+        )
+        cursor = j
+    dt = jnp.float32(0.05)
+
+    state = T.init_vio_state(config)
+    # warmup / compile
+    s = state
+    for i in range(2):
+        s, odo = step(s, frames[i % n_frames], windows[i % n_frames], dt, config)
+    jax.block_until_ready(odo.position)
+
+    n_iter = 60
+    s = state
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        s, odo = step(s, frames[i % n_frames], windows[i % n_frames], dt, config)
+    jax.block_until_ready(odo.position)
+    elapsed = time.perf_counter() - t0
+    fps = n_iter / elapsed
+
+    print(json.dumps({
+        "metric": "vio_frames_per_second_single_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s (752x480, 16k keylines, full VIO step)",
+        "vs_baseline": round(fps / 20.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

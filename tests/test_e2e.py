@@ -1,0 +1,67 @@
+"""End-to-end regression on synthetic sequences (SURVEY.md section 4: the
+TPU-native analogue of the reference's rosbag regression test, graded by ATE
+bound instead of bitwise equality)."""
+
+import numpy as np
+import pytest
+
+from rebvio_tpu.configs import PipelineConfig, CameraConfig, EdgeDetectorConfig, CoreConfig
+from rebvio_tpu.data import synthetic
+from rebvio_tpu.runner import VioRunner
+from rebvio_tpu import eval as ev
+
+
+def _small_cfg(use_imu: bool) -> PipelineConfig:
+    cam = CameraConfig(rows=240, cols=376, fx=229.3, fy=228.6, cx=183.6, cy=124.2,
+                       k1=0, k2=0, k3=0, p1=0, p2=0)
+    det = EdgeDetectorConfig(keylines_max=4096, keylines_ref=3000)
+    core = CoreConfig(search_range=20, global_min_matches_threshold=200)
+    return PipelineConfig(camera=cam, detector=det, core=core, use_imu=use_imu)
+
+
+def test_vision_only_tracks_synthetic_trajectory():
+    cfg = _small_cfg(use_imu=False)
+    seq = synthetic.generate(cfg.camera, n_frames=40, seed=0)
+    r = VioRunner(cfg, undistort=False)
+    res = r.run(seq)
+    assert res.run_ok.all()
+    assert res.num_matches[2:].min() > 500
+    span = np.linalg.norm(seq.gt_pos[-1] - seq.gt_pos[0])
+    ate = ev.ate_rmse(res.position, seq.gt_pos, align=True, with_scale=True)
+    assert ate < 0.08 * span, (ate, span)
+
+
+def test_vio_recovers_scale_and_gravity():
+    cfg = _small_cfg(use_imu=True)
+    seq = synthetic.generate(cfg.camera, n_frames=100, seed=0)
+    r = VioRunner(cfg, undistort=False)
+    res = r.run(seq)
+    assert res.run_ok.all()
+    # metric scale: true visual scale is ~5 (mean scene depth / rho_init);
+    # the SAB filter must be converging toward it by frame 100
+    K = float(r.state.K)
+    assert 2.0 < K < 9.0, K
+    g = np.asarray(r.state.sab_state.g_est)
+    assert 9.0 < np.linalg.norm(g) < 10.6, g
+    # gravity direction: world -y in camera coords at the final pose
+    g_dir = g / np.linalg.norm(g)
+    assert g_dir[1] < -0.9, g_dir
+    # trajectory shape (scale-aligned; the metric transient is excluded by sim3)
+    span = np.linalg.norm(seq.gt_pos[-1] - seq.gt_pos[0])
+    ate = ev.ate_rmse(res.position, seq.gt_pos, align=True, with_scale=True)
+    assert ate < 0.2 * span, (ate, span)
+
+
+def test_failure_latch_on_blank_frames():
+    """Blank frames -> no keylines -> match failure latches run_ok=False and
+    freezes the output pose (the reference's run_=false semantics,
+    rebvio.cpp:247-252)."""
+    cfg = _small_cfg(use_imu=False)
+    seq = synthetic.generate(cfg.camera, n_frames=8, seed=1)
+    seq.images[4:] = 25.0  # blank
+    r = VioRunner(cfg, undistort=False)
+    res = r.run(seq)
+    assert not res.run_ok[-1]
+    # pose frozen after failure
+    i_fail = int(np.argmin(res.run_ok))
+    assert np.allclose(res.position[i_fail:], res.position[i_fail])
