@@ -148,6 +148,10 @@ class PipelineConfig:
     imu: ImuConfig = dataclasses.field(default_factory=ImuConfig)
     use_imu: bool = True             # False => vision-only VO (R prior = I)
     image_gain: float = 3.0          # input intensity gain (rebvio.cpp:43)
+    # Elastic recovery (greenfield; the reference latches run_=false forever,
+    # rebvio.cpp:236-252): when True, a tracking failure re-seeds the map from
+    # the next detection and continues instead of freezing.
+    recover_on_failure: bool = False
 
     @property
     def kmax(self) -> int:

@@ -282,6 +282,20 @@ def step(
 
     out_state = _tree_where(use_est, est_state, first_state)
     odo = _tree_where(use_est, est_odo, idle_odo)
+    if config.recover_on_failure:
+        # Re-seed: keep the calibration-like state (pose, K, biases, SAB) but
+        # restart tracking from the fresh detection with cleared histories.
+        ist0 = state.imu_state
+        recovered = out_state.replace(
+            edge_map=new_map,
+            imu_state=ist0.replace(
+                vel_hist=jnp.zeros_like(ist0.vel_hist),
+                dt_hist=jnp.zeros_like(ist0.dt_hist),
+                acc_hist=jnp.zeros_like(ist0.acc_hist),
+            ),
+            run_ok=jnp.ones((), bool),
+        )
+        out_state = _tree_where(frozen, recovered, out_state)
     out_state = out_state.replace(
         frames_seen=state.frames_seen + 1,
         detector_threshold=threshold,

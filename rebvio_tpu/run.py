@@ -1,0 +1,121 @@
+"""Command-line dataset runner: the TPU-native equivalent of the reference's
+node executable + rosbag player (ros_rebvio_node.cpp, ros_rebvio.cpp:89-126).
+
+    python -m rebvio_tpu.run --dataset synthetic --frames 120 --mode vio
+    python -m rebvio_tpu.run --dataset euroc --root /data/V1_01_easy --mode vio
+
+Writes a reference-format odometry file and prints ATE when ground truth is
+available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from rebvio_tpu import eval as ev
+from rebvio_tpu.configs import PipelineConfig, CameraConfig
+from rebvio_tpu.runner import VioRunner
+from rebvio_tpu.utils import logging as rlog
+from rebvio_tpu.utils import timing
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["synthetic", "euroc"], default="synthetic")
+    ap.add_argument("--root", help="EuRoC sequence root (contains mav0/)")
+    ap.add_argument("--camera-json", help="camera calibration JSON (default EuRoC cam0)")
+    ap.add_argument("--mode", choices=["vio", "vo"], default="vio")
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--start", type=float, default=None, help="euroc start [s]")
+    ap.add_argument("--end", type=float, default=None, help="euroc end [s]")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--odometry-out", default=None)
+    ap.add_argument("--checkpoint-out", default=None)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--timing", action="store_true")
+    ap.add_argument("--preset", choices=["euroc", "half", "small"], default="euroc",
+                    help="camera/detector size preset (half/small for quick runs)")
+    args = ap.parse_args(argv)
+
+    log = rlog.init()
+    timing.enable(args.timing)
+
+    from rebvio_tpu.configs import CoreConfig, EdgeDetectorConfig
+
+    if args.camera_json:
+        cam = CameraConfig.from_json(args.camera_json)
+        det, core = EdgeDetectorConfig(), CoreConfig()
+    elif args.preset == "half":
+        cam = CameraConfig(rows=240, cols=376, fx=229.3, fy=228.6, cx=183.6, cy=124.2,
+                           k1=0, k2=0, k3=0, p1=0, p2=0)
+        det = EdgeDetectorConfig(keylines_max=4096, keylines_ref=3000)
+        core = CoreConfig(search_range=20, global_min_matches_threshold=200)
+    elif args.preset == "small":
+        cam = CameraConfig(rows=120, cols=188, fx=114.6, fy=114.3, cx=91.8, cy=62.1,
+                           k1=0, k2=0, k3=0, p1=0, p2=0)
+        det = EdgeDetectorConfig(keylines_max=2048, keylines_ref=1200)
+        core = CoreConfig(search_range=10, global_min_matches_threshold=100)
+    else:
+        cam, det, core = CameraConfig(), EdgeDetectorConfig(), CoreConfig()
+    config = PipelineConfig(camera=cam, detector=det, core=core,
+                            use_imu=(args.mode == "vio"))
+
+    if args.dataset == "synthetic":
+        from rebvio_tpu.data import synthetic
+
+        seq = synthetic.generate(cam, n_frames=args.frames, seed=args.seed)
+        undistort = False
+        gt = seq.gt_pos
+    else:
+        from rebvio_tpu.data import euroc
+
+        if not args.root:
+            ap.error("--root required for euroc")
+        seq = euroc.load(args.root, args.start, args.end)
+        undistort = True
+        gt = None
+
+    runner = VioRunner(config, undistort=undistort)
+    if args.resume:
+        from rebvio_tpu.utils import checkpoint
+
+        runner.state = checkpoint.load(args.resume, runner.state)
+        log.info("resumed state from %s", args.resume)
+
+    t0 = time.time()
+    res = runner.run(seq)
+    elapsed = time.time() - t0
+    n = len(res.ts_us)
+    log.info("%d frames in %.2fs (%.1f fps), run_ok=%s", n, elapsed, n / elapsed, bool(res.run_ok[-1]))
+
+    if args.odometry_out:
+        ev.write_odometry(args.odometry_out, res.ts_us, res.orientation, res.position)
+        log.info("odometry written to %s", args.odometry_out)
+    if args.checkpoint_out:
+        from rebvio_tpu.utils import checkpoint
+
+        checkpoint.save(args.checkpoint_out, runner.state)
+        log.info("state checkpoint written to %s", args.checkpoint_out)
+
+    out = {"frames": n, "fps": n / elapsed, "run_ok": bool(res.run_ok[-1])}
+    if gt is not None:
+        out["ate_sim3"] = ev.ate_rmse(res.position, gt, align=True, with_scale=True)
+        out["ate_se3"] = ev.ate_rmse(res.position, gt, align=True, with_scale=False)
+    if args.dataset == "euroc" and seq.gt_pos is not None:
+        sel = np.searchsorted(seq.gt_ts_us, res.ts_us)
+        sel = np.clip(sel, 0, len(seq.gt_ts_us) - 1)
+        out["ate_sim3"] = ev.ate_rmse(res.position, seq.gt_pos[sel], align=True, with_scale=True)
+        out["ate_se3"] = ev.ate_rmse(res.position, seq.gt_pos[sel], align=True, with_scale=False)
+    print(json.dumps(out))
+    if args.timing:
+        print(timing.report(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -65,3 +65,18 @@ def test_failure_latch_on_blank_frames():
     # pose frozen after failure
     i_fail = int(np.argmin(res.run_ok))
     assert np.allclose(res.position[i_fail:], res.position[i_fail])
+
+
+def test_elastic_recovery_resumes_tracking():
+    """With recover_on_failure, blank frames do not permanently kill the run
+    (greenfield extension; the reference latches forever)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_small_cfg(use_imu=False), recover_on_failure=True)
+    seq = synthetic.generate(cfg.camera, n_frames=16, seed=1)
+    seq.images[5:8] = 25.0  # blank gap
+    r = VioRunner(cfg, undistort=False)
+    res = r.run(seq)
+    assert not res.run_ok[6]       # failure observed during the gap
+    assert res.run_ok[-1]          # ...but tracking resumed
+    assert res.num_matches[-1] > 500
