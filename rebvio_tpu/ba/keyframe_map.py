@@ -1,0 +1,151 @@
+"""Keyframe map construction from the live VIO run.
+
+Greenfield mapping layer (BASELINE.json configs[2]/[3]: "per-keyline depth
+EKF + keyframe map", "pose-graph backend"): the host tracks keyline identity
+across frames through the directed-match chains (new_map.match_id points into
+the previous frame's map, edge_map.cpp:186-218), assigns persistent track
+ids, and at keyframes records (track, keyframe, normalized-pixel) landmark
+observations plus the current VIO pose and per-keyline inverse depth.  The
+accumulated map converts to a fixed-shape BAProblem (ba/problem.py) for
+(optionally distributed) Schur-complement refinement.
+
+Note the reference's dead ``match_id_keyframe`` machinery (keyline.hpp:39 is
+initialized to -1 and only ever propagated — SURVEY.md section 7) is
+superseded by this live track-id mechanism.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from rebvio_tpu.ba import problem as bap
+from rebvio_tpu.configs import PipelineConfig
+from rebvio_tpu.geometry import so3
+
+
+@dataclasses.dataclass
+class Keyframe:
+    index: int                 # frame index in the run
+    R_wc: np.ndarray           # [3,3]
+    t_wc: np.ndarray           # [3]
+    obs_tracks: np.ndarray     # [M] track ids observed here
+    obs_uv: np.ndarray         # [M,2] normalized coords (pos_img / fm)
+    obs_rho: np.ndarray        # [M] VIO inverse depth (visual units)
+
+
+class KeyframeMapBuilder:
+    """Host-side accumulator; feed it each step's post-update edge map."""
+
+    def __init__(self, config: PipelineConfig, kf_every: int = 5,
+                 min_track_len: int = 2, max_tracks_per_kf: int = 2000):
+        self.config = config
+        self.kf_every = kf_every
+        self.min_track_len = min_track_len
+        self.max_tracks_per_kf = max_tracks_per_kf
+        self.keyframes: List[Keyframe] = []
+        self._track_of_slot: Optional[np.ndarray] = None
+        self._next_track = 0
+        self._frame = 0
+
+    def add_frame(self, edge_map, orientation: np.ndarray, position: np.ndarray,
+                  K_scale: float = 1.0) -> None:
+        """edge_map: the post-step state.edge_map (host-fetchable); pose from
+        the step's odometry output."""
+        valid = np.asarray(edge_map.valid)
+        match_id = np.asarray(edge_map.match_id)
+        kmax = len(valid)
+
+        # --- track propagation through the match chain ---
+        new_tracks = np.full(kmax, -1, np.int64)
+        if self._track_of_slot is not None:
+            has = valid & (match_id >= 0)
+            src = np.clip(match_id, 0, kmax - 1)
+            prev = self._track_of_slot[src]
+            new_tracks = np.where(has, prev, -1)
+        fresh = valid & (new_tracks < 0)
+        n_fresh = int(fresh.sum())
+        new_tracks[fresh] = self._next_track + np.arange(n_fresh)
+        self._next_track += n_fresh
+        self._track_of_slot = new_tracks
+
+        if self._frame % self.kf_every == 0:
+            sel = valid & (new_tracks >= 0)
+            idx = np.nonzero(sel)[0]
+            if len(idx) > self.max_tracks_per_kf:
+                idx = idx[np.linspace(0, len(idx) - 1, self.max_tracks_per_kf).astype(int)]
+            pos_img = np.asarray(edge_map.pos_img)[idx]
+            rho = np.asarray(edge_map.rho)[idx]
+            fm = self.config.camera.fm
+            R_wc = np.asarray(so3.exp(jnp.asarray(orientation, jnp.float32)))
+            self.keyframes.append(Keyframe(
+                index=self._frame,
+                R_wc=R_wc,
+                t_wc=np.asarray(position, np.float64),
+                obs_tracks=new_tracks[idx],
+                obs_uv=pos_img / fm,
+                obs_rho=rho / max(K_scale, 1e-6),
+            ))
+        self._frame += 1
+
+    def n_keyframes(self) -> int:
+        return len(self.keyframes)
+
+    def build_problem(self, min_obs: int = 2) -> Optional[bap.BAProblem]:
+        """Convert accumulated keyframes to a fixed-shape BAProblem.
+
+        Landmarks = tracks observed in >= min_obs keyframes; each is anchored
+        at its first observing keyframe with that observation's ray and VIO
+        inverse depth as the initial value.
+        """
+        if len(self.keyframes) < 2:
+            return None
+        count: Dict[int, int] = {}
+        for kf in self.keyframes:
+            for tr in kf.obs_tracks:
+                count[tr] = count.get(tr, 0) + 1
+        tracks = sorted(t for t, c in count.items() if c >= min_obs)
+        if not tracks:
+            return None
+        lid = {t: i for i, t in enumerate(tracks)}
+        L = len(tracks)
+        F = len(self.keyframes)
+
+        anchor_kf = np.zeros(L, np.int32)
+        anchor_ray = np.zeros((L, 3), np.float32)
+        rho0 = np.zeros(L, np.float32)
+        seen = np.zeros(L, bool)
+        obs_lm, obs_kf, obs_uv = [], [], []
+        for f, kf in enumerate(self.keyframes):
+            for m in range(len(kf.obs_tracks)):
+                t = kf.obs_tracks[m]
+                if t not in lid:
+                    continue
+                l = lid[t]
+                if not seen[l]:
+                    seen[l] = True
+                    anchor_kf[l] = f
+                    anchor_ray[l] = [kf.obs_uv[m][0], kf.obs_uv[m][1], 1.0]
+                    rho0[l] = np.clip(kf.obs_rho[m], 1e-3, 1e3)
+                else:
+                    obs_lm.append(l)
+                    obs_kf.append(f)
+                    obs_uv.append(kf.obs_uv[m])
+        O = max(len(obs_lm), 1)
+        fm = self.config.camera.fm
+        return bap.BAProblem(
+            R=jnp.asarray(np.stack([k.R_wc for k in self.keyframes]), jnp.float32),
+            t=jnp.asarray(np.stack([k.t_wc for k in self.keyframes]), jnp.float32),
+            rho=jnp.asarray(rho0),
+            anchor_kf=jnp.asarray(anchor_kf),
+            anchor_ray=jnp.asarray(anchor_ray),
+            obs_lm=jnp.asarray(np.asarray(obs_lm or [-1], np.int32)),
+            obs_kf=jnp.asarray(np.asarray(obs_kf or [0], np.int32)),
+            obs_uv=jnp.asarray(np.asarray(obs_uv or [[0.0, 0.0]], np.float32)),
+            obs_w=jnp.full((O,), float(fm), jnp.float32),
+            lm_valid=jnp.asarray(seen),
+            obs_valid=jnp.asarray(np.ones(O, bool) if obs_lm else np.zeros(1, bool)),
+        )

@@ -220,7 +220,9 @@ def estimate(
     else:
         # Vision-only: dead-reckon pose by composing the inter-frame motion
         # (no gravity alignment available without an accelerometer).
-        R_global_new = state.R_global @ Rgva.T
+        # Keyline coords map X_new = Rgva^T X_old, so world-from-camera
+        # composes as R_wc,new = R_wc,old @ Rgva.
+        R_global_new = state.R_global @ Rgva
         Pos_new = state.Pos - R_global_new @ Vgva * K
         integrate = jnp.ones((), bool)
         u_est = ist.u_est
