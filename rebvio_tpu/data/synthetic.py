@@ -52,31 +52,37 @@ def make_segments(rng: np.random.RandomState, n: int = 260) -> np.ndarray:
     return np.asarray(segs)
 
 
-def trajectory(t: np.ndarray, speed: float = 0.35, yaw_amp: float = 0.06):
+def trajectory(t: np.ndarray, speed: float = 0.35, yaw_amp: float = 0.06,
+               excitation: float = 1.0):
     """Smooth analytic camera trajectory (world frame, z = optical axis at
     t=0).  Returns (pos[N,3], R_wc[N,3,3], vel[N,3], acc[N,3], omega_body[N,3]).
+
+    ``excitation`` scales the oscillation frequencies so the accelerometer
+    sees MAV-flight-like specific forces (the scale filter needs dynamic
+    excitation to observe metric scale, like EuRoC's 2-5 m/s^2).
     """
-    # position: forward along +z with lateral/vertical sinusoids
+    ax_, ay_ = 0.35, 0.22
+    wx_, wy_ = 0.9 * excitation, 0.7 * excitation
     pos = np.stack(
         [
-            0.35 * np.sin(0.9 * t),
-            0.22 * np.sin(0.7 * t + 0.5),
+            ax_ * np.sin(wx_ * t),
+            ay_ * np.sin(wy_ * t + 0.5),
             speed * t,
         ],
         axis=-1,
     )
     vel = np.stack(
         [
-            0.35 * 0.9 * np.cos(0.9 * t),
-            0.22 * 0.7 * np.cos(0.7 * t + 0.5),
+            ax_ * wx_ * np.cos(wx_ * t),
+            ay_ * wy_ * np.cos(wy_ * t + 0.5),
             np.full_like(t, speed),
         ],
         axis=-1,
     )
     acc = np.stack(
         [
-            -0.35 * 0.81 * np.sin(0.9 * t),
-            -0.22 * 0.49 * np.sin(0.7 * t + 0.5),
+            -ax_ * wx_ * wx_ * np.sin(wx_ * t),
+            -ay_ * wy_ * wy_ * np.sin(wy_ * t + 0.5),
             np.zeros_like(t),
         ],
         axis=-1,
@@ -172,6 +178,7 @@ def generate(
     seed: int = 0,
     gravity: Tuple[float, float, float] = (0.0, -9.81, 0.0),
     speed: float = 0.35,
+    excitation: float = 2.2,
 ) -> Sequence:
     """Full sequence: images at fps, IMU at imu_rate, exact ground truth.
 
@@ -182,7 +189,7 @@ def generate(
     rng = np.random.RandomState(seed)
     segs = make_segments(rng)
     tf = np.arange(n_frames) / fps
-    pos, R_wc, vel, acc, _ = trajectory(tf, speed=speed)
+    pos, R_wc, vel, acc, _ = trajectory(tf, speed=speed, excitation=excitation)
 
     images = np.stack([render_frame(segs, pos[i], R_wc[i], cam) for i in range(n_frames)])
     ts_us = (tf * 1e6).astype(np.int64) + 1_000_000
@@ -190,7 +197,7 @@ def generate(
     # IMU stream (camera frame == body frame here; the pipeline applies the
     # configured camera->IMU extrinsics, so emit measurements in IMU frame)
     ti = np.arange(int(n_frames / fps * imu_rate)) / imu_rate
-    _, R_wc_i, _, acc_i, omega_i = trajectory(ti, speed=speed)
+    _, R_wc_i, _, acc_i, omega_i = trajectory(ti, speed=speed, excitation=excitation)
     g = np.asarray(gravity)
     R_c2i = cam.R_c2i_np().astype(np.float64)
     gyro = np.zeros((len(ti), 3))

@@ -10,7 +10,8 @@ raster order capped at ``keylines_max`` (edge_detector.cpp:45-123).
 Here all gates evaluate as dense masked image ops.  The symmetric window makes
 Phi^T Phi diagonal (sum x = sum y = sum xy = 0), so the plane fit collapses to
 three separable correlations: theta = (sum x*dog / Sxx, sum y*dog / Syy,
-mean dog), evaluated as one 5x5 convolution with 3 output channels on the MXU.
+mean dog), evaluated as banded-matrix sandwiches on the MXU (see
+scale_space.FrontendMatrices) — the same formulation as the blur cascade.
 Raster-order compaction to the fixed [KMAX] SoA uses jnp.nonzero with a static
 size — which reproduces both the raster ordering and the keylines_max cutoff
 of the sequential emplace_back loop (edge_detector.cpp:110-119).
@@ -31,47 +32,16 @@ import jax.numpy as jnp
 
 from rebvio_tpu import types as T
 from rebvio_tpu.configs import CameraConfig, EdgeDetectorConfig
-from rebvio_tpu.ops.scale_space import ScaleSpaceParams
+from rebvio_tpu.ops.scale_space import FrontendMatrices, build_scale_space
 
 
-def _plane_fit_kernel(pfs: int) -> jnp.ndarray:
-    """3-channel correlation kernel implementing theta = Pinv @ window.
-
-    Equivalent to the reference's Pinv = (Phi^T Phi)^-1 Phi^T with
-    Phi rows (x, y, 1) over the window (edge_detector.cpp:56-68).
-    """
-    n = 2 * pfs + 1
-    xs = jnp.arange(-pfs, pfs + 1, dtype=jnp.float32)
-    x = jnp.tile(xs[None, :], (n, 1))
-    y = jnp.tile(xs[:, None], (1, n))
-    sxx = jnp.sum(x * x)
-    syy = jnp.sum(y * y)
-    area = float(n * n)
-    k = jnp.stack([x / sxx, y / syy, jnp.ones((n, n), jnp.float32) / area], axis=-1)
-    return k  # [n, n, 3]
-
-
-def _correlate(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """'Same'-padded 2-D correlation, [H,W] x [kh,kw,C] -> [H,W,C]."""
-    kh, kw, c = kernel.shape
-    lhs = img[None, None, :, :]  # NCHW with C=1
-    rhs = jnp.transpose(kernel, (2, 0, 1))[:, None, :, :]  # OIHW
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs,
-        window_strides=(1, 1),
-        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return jnp.transpose(out[0], (1, 2, 0))  # [H,W,C]
-
-
-@partial(jax.jit, static_argnames=("cfg", "cam", "ss"))
+@partial(jax.jit, static_argnames=("cfg", "cam"))
 def detect(
     image: jnp.ndarray,
     threshold: jnp.ndarray,
+    mats: FrontendMatrices,
     cfg: EdgeDetectorConfig,
     cam: CameraConfig,
-    ss: ScaleSpaceParams,
 ) -> T.EdgeMap:
     """Detect keylines in a (already undistorted, gain-applied) float image.
 
@@ -83,7 +53,7 @@ def detect(
     pfs = cfg.plane_fit_size
     kmax = cfg.keylines_max
 
-    s0, dog, mag = ss.build(image)
+    s0, dog, mag = build_scale_space(image, mats)
 
     # --- dense gates (edge_detector.cpp:69-107) ---
     n_win = (2 * pfs + 1) ** 2
@@ -95,12 +65,14 @@ def detect(
 
     # positive/negative balance of DoG over the window
     sign_map = jnp.where(dog > 0.0, 1.0, -1.0)
-    ones_k = jnp.ones((2 * pfs + 1, 2 * pfs + 1, 1), jnp.float32)
-    pn = _correlate(sign_map, ones_k)[..., 0]
+    pn = mats.S5H @ sign_map @ mats.S5W
 
-    # plane fit theta = (gx, gy, c)
-    theta = _correlate(dog, _plane_fit_kernel(pfs))
-    t0, t1, t2 = theta[..., 0], theta[..., 1], theta[..., 2]
+    # plane fit theta = (gx, gy, c): x/y ramps and window mean as banded
+    # sandwiches; Sxx = Syy = 50, area = 25 for the 5x5 window
+    sxx = float((2 * pfs + 1) * sum(i * i for i in range(-pfs, pfs + 1)))
+    t0 = (mats.S5H @ (dog @ mats.XW)) / sxx
+    t1 = ((mats.YH @ dog) @ mats.S5W) / sxx
+    t2 = (mats.S5H @ dog @ mats.S5W) / float(n_win)
     g2 = t0 * t0 + t1 * t1
     tmp = t2 / jnp.where(g2 > 0, g2, 1.0)
     xs = -t0 * tmp

@@ -179,51 +179,82 @@ def directed_match(
     dq_max = jnp.where(main, dq_max_m, dq_max_z)
     t_steps = jnp.where(main, t_steps_m, dq_max_z.astype(jnp.int32))
 
-    # --- static enumeration of candidate t values ---
-    # visited t = dq_rho + m; tn side m in (-t_steps, 0], tp side m in [1, t_steps]
-    m0 = jnp.ceil(dq_min - dq_rho)  # smallest admissible integer offset
-    j = jnp.arange(JMAX, dtype=jnp.float32)[None, :]           # [1,J]
-    m = m0[:, None] + j                                        # [K,J]
-    t = dq_rho[:, None] + m
-    visited = jnp.where(
-        m <= 0,
-        -m <= (t_steps[:, None].astype(jnp.float32) - 1.0),
-        m <= t_steps[:, None].astype(jnp.float32),
+    # --- two-phase enumeration of candidate t values ---
+    # visited t = dq_rho + m; tn side m in (-t_steps, 0], tp side m in [1, t_steps].
+    # Phase 1 probes the J_NEAR best-priority offsets m in [-8, 8] for every
+    # keyline; phase 2 re-runs the full window only for the (few) keylines
+    # whose admissible window extends beyond and found nothing — compacted to
+    # a fixed CAP so the expensive [*, JMAX] gather volume shrinks ~6x.
+    # First-hit order is preserved: every phase-1 candidate has strictly
+    # better priority than any phase-2-only candidate.
+    J_NEAR = 17
+    CAP = 4096
+
+    def walk(valid_q, grad_q, gn_q, tx_q, ty_q, pi0x_q, pi0y_q, dq_rho_q,
+             dq_min_q, dq_max_q, t_steps_q, nt_q, s2t_q, m_start, J):
+        m = m_start[:, None] + jnp.arange(J, dtype=jnp.float32)[None, :]
+        t = dq_rho_q[:, None] + m
+        ts_f = t_steps_q[:, None].astype(jnp.float32)
+        visited = jnp.where(m <= 0, -m <= ts_f - 1.0, m <= ts_f)
+        in_window = (t >= dq_min_q[:, None]) & (t <= dq_max_q[:, None])
+        prio = jnp.where(m <= 0, -2.0 * m, 2.0 * m - 1.0)
+
+        cx_pix = tx_q[:, None] * t + pi0x_q[:, None]
+        cy_pix = ty_q[:, None] * t + pi0y_q[:, None]
+        col = (jnp.sign(cx_pix) * jnp.floor(jnp.abs(cx_pix) + 0.5)).astype(jnp.int32)
+        row = (jnp.sign(cy_pix) * jnp.floor(jnp.abs(cy_pix) + 0.5)).astype(jnp.int32)
+        inb = (row >= 0) & (row < H) & (col >= 0) & (col < W)
+        oid = jnp.where(inb, old.kl_id_img[jnp.clip(row, 0, H - 1), jnp.clip(col, 0, W - 1)], -1)
+        has = oid >= 0
+        os = jnp.clip(oid, 0, kmax - 1)
+
+        g_old = old.grad[os]
+        gn_old = old.grad_norm[os]
+        gdot = g_old[..., 0] * grad_q[:, None, 0] + g_old[..., 1] * grad_q[:, None, 1]
+        denom = jnp.where(gn_old * gn_q[:, None] > 0, gn_old * gn_q[:, None], 1.0)
+        cang = gdot / denom
+        gate_ang = cang >= cang_min
+        gate_norm = jnp.abs(gn_old / jnp.where(gn_q[:, None] > 0, gn_q[:, None], 1.0) - 1.0) <= cfg.match_threshold_norm
+
+        rho_old = old.rho[os]
+        sr_old = old.sigma_rho[os]
+        v_rho_dr = pum * pum + sr_old * sr_old * nt_q[:, None] ** 2 + s2t_q[:, None] * rho_old * rho_old
+        resid = t - nt_q[:, None] * rho_old
+        gate_depth = ~(resid * resid > v_rho_dr)  # NaN-tolerant: NaN -> pass
+
+        ok = valid_q[:, None] & visited & in_window & has & gate_ang & gate_norm & gate_depth
+        prio_masked = jnp.where(ok, prio, jnp.float32(1e9))
+        best_j = jnp.argmin(prio_masked, axis=1)
+        found = jnp.take_along_axis(ok, best_j[:, None], axis=1)[:, 0]
+        return found, jnp.where(
+            found, jnp.take_along_axis(oid, best_j[:, None], axis=1)[:, 0], -1
+        )
+
+    m0_full = jnp.ceil(dq_min - dq_rho)
+    # phase 1: m in [-8, 8]
+    found1, match1 = walk(
+        new.valid, new.grad, new.grad_norm, tx, ty, pi0x, pi0y, dq_rho,
+        dq_min, dq_max, t_steps, nt_eff, sigma2_t,
+        jnp.full((kmax,), -8.0, jnp.float32), J_NEAR,
     )
-    in_window = (t >= dq_min[:, None]) & (t <= dq_max[:, None])
-    prio = jnp.where(m <= 0, -2.0 * m, 2.0 * m - 1.0)
+    # phase 2 only where the admissible window extends beyond [-8, 8]
+    lo_m = jnp.maximum(m0_full, -(t_steps.astype(jnp.float32) - 1.0))
+    hi_m = jnp.minimum(jnp.floor(dq_max - dq_rho), t_steps.astype(jnp.float32))
+    need2 = new.valid & (~found1) & ((lo_m < -8.0) | (hi_m > 8.0))
+    sel = jnp.nonzero(need2, size=CAP, fill_value=-1)[0].astype(jnp.int32)
+    sv = sel >= 0
+    ss_ = jnp.clip(sel, 0, kmax - 1)
+    found2s, match2s = walk(
+        sv, new.grad[ss_], new.grad_norm[ss_], tx[ss_], ty[ss_],
+        pi0x[ss_], pi0y[ss_], dq_rho[ss_], dq_min[ss_], dq_max[ss_],
+        t_steps[ss_], nt_eff[ss_], sigma2_t[ss_], m0_full[ss_], JMAX,
+    )
+    scatter_to = jnp.where(sv, ss_, kmax)
+    found2 = jnp.zeros((kmax,), bool).at[scatter_to].set(found2s, mode="drop")
+    match2 = jnp.full((kmax,), -1, jnp.int32).at[scatter_to].set(match2s, mode="drop")
 
-    # candidate pixel + old-map keyline lookup
-    cx_pix = tx[:, None] * t + pi0x[:, None]
-    cy_pix = ty[:, None] * t + pi0y[:, None]
-    col = (jnp.sign(cx_pix) * jnp.floor(jnp.abs(cx_pix) + 0.5)).astype(jnp.int32)
-    row = (jnp.sign(cy_pix) * jnp.floor(jnp.abs(cy_pix) + 0.5)).astype(jnp.int32)
-    inb = (row >= 0) & (row < H) & (col >= 0) & (col < W)
-    oid = jnp.where(inb, old.kl_id_img[jnp.clip(row, 0, H - 1), jnp.clip(col, 0, W - 1)], -1)
-    has = oid >= 0
-    os = jnp.clip(oid, 0, kmax - 1)
-
-    # gradient similarity gates (edge_map.cpp:171-172)
-    g_old = old.grad[os]          # [K,J,2]
-    gn_old = old.grad_norm[os]
-    gdot = g_old[..., 0] * new.grad[:, None, 0] + g_old[..., 1] * new.grad[:, None, 1]
-    denom = jnp.where(gn_old * new.grad_norm[:, None] > 0, gn_old * new.grad_norm[:, None], 1.0)
-    cang = gdot / denom
-    gate_ang = cang >= cang_min
-    gate_norm = jnp.abs(gn_old / jnp.where(new.grad_norm[:, None] > 0, new.grad_norm[:, None], 1.0) - 1.0) <= cfg.match_threshold_norm
-
-    # depth-consistency gate (edge_map.cpp:174-175)
-    rho_old = old.rho[os]
-    sr_old = old.sigma_rho[os]
-    v_rho_dr = pum * pum + sr_old * sr_old * nt_eff[:, None] ** 2 + sigma2_t[:, None] * rho_old * rho_old
-    resid = t - nt_eff[:, None] * rho_old
-    gate_depth = ~(resid * resid > v_rho_dr)  # NaN-tolerant: NaN -> pass
-
-    ok = new.valid[:, None] & visited & in_window & has & gate_ang & gate_norm & gate_depth
-    prio_masked = jnp.where(ok, prio, jnp.float32(1e9))
-    best_j = jnp.argmin(prio_masked, axis=1)
-    found = jnp.take_along_axis(ok, best_j[:, None], axis=1)[:, 0]
-    match = jnp.where(found, jnp.take_along_axis(oid, best_j[:, None], axis=1)[:, 0], -1)
+    found = found1 | found2
+    match = jnp.where(found1, match1, match2)
 
     ms = jnp.clip(match, 0, kmax - 1)
     new = new.replace(

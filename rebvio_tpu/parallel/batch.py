@@ -37,7 +37,8 @@ def batched_step(
     frame_dt: jnp.ndarray,        # [B]
     config: PipelineConfig,
 ) -> Tuple[T.VioState, T.Odometry]:
-    return jax.vmap(lambda s, f, i, d: step(s, f, i, d, config))(
+    mats = __import__("rebvio_tpu.pipeline", fromlist=["frontend_matrices"]).frontend_matrices(config)
+    return jax.vmap(lambda s, f, i, d: step(s, f, i, d, config, mats))(
         states, frames, imu, frame_dt
     )
 

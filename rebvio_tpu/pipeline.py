@@ -34,10 +34,20 @@ from rebvio_tpu.configs import PipelineConfig
 from rebvio_tpu.geometry import linalg, so3
 from rebvio_tpu.ops import distance_field as DF
 from rebvio_tpu.ops import edge_detect, imu as imu_ops, matching, sab, tracker
-from rebvio_tpu.ops.scale_space import ScaleSpaceParams
+from rebvio_tpu.ops.scale_space import FrontendMatrices, ScaleSpaceParams
 
 _F32_MAX = 3.4028235e38
-_SS = ScaleSpaceParams()
+_SS_CACHE = {}
+
+
+def frontend_matrices(config: PipelineConfig) -> FrontendMatrices:
+    """Device-resident banded frontend operators for this camera geometry
+    (uploaded once; passed through step so the remote executable takes them
+    as arguments rather than re-shipped constants)."""
+    key = (config.camera.rows, config.camera.cols, config.detector.plane_fit_size)
+    if key not in _SS_CACHE:
+        _SS_CACHE[key] = ScaleSpaceParams(*key)
+    return _SS_CACHE[key].matrices()
 
 
 def _tree_where(pred, a, b):
@@ -45,12 +55,13 @@ def _tree_where(pred, a, b):
         jnp.reshape(pred, (1,) * x.ndim), x, y), a, b)
 
 
-def detect_frame(state: T.VioState, frame: jnp.ndarray, config: PipelineConfig):
+def detect_frame(state: T.VioState, frame: jnp.ndarray, mats: FrontendMatrices,
+                 config: PipelineConfig):
     """Frontend: auto-gain threshold + keyline detection (rebvio.cpp:56-75)."""
     threshold = edge_detect.autogain_threshold(
         state.detector_threshold, state.keylines_count, config.detector
     )
-    new_map = edge_detect.detect(frame, threshold, config.detector, config.camera, _SS)
+    new_map = edge_detect.detect(frame, threshold, mats, config.detector, config.camera)
     return new_map, threshold
 
 
@@ -258,10 +269,13 @@ def step(
     imu_data: T.ImuFrameData,
     frame_dt: jnp.ndarray,
     config: PipelineConfig,
+    mats: FrontendMatrices = None,
 ) -> Tuple[T.VioState, T.Odometry]:
     """Process one frame: detect keylines, then (if a previous map exists and
     the failure latch is clear) run the estimation iteration."""
-    new_map, threshold = detect_frame(state, frame, config)
+    if mats is None:
+        mats = frontend_matrices(config)
+    new_map, threshold = detect_frame(state, frame, mats, config)
 
     est_state, est_map, est_odo = estimate(
         state, state.edge_map, new_map, imu_data, frame_dt, config

@@ -20,7 +20,7 @@ from rebvio_tpu import types as T
 from rebvio_tpu.camera import Undistorter
 from rebvio_tpu.configs import PipelineConfig
 from rebvio_tpu.ops.imu import pack_imu_window
-from rebvio_tpu.pipeline import step
+from rebvio_tpu.pipeline import frontend_matrices, step
 
 
 @dataclasses.dataclass
@@ -36,6 +36,7 @@ class VioRunner:
     def __init__(self, config: PipelineConfig, undistort: bool = True):
         self.config = config
         self.undistorter = Undistorter(config.camera, config.image_gain) if undistort else None
+        self.mats = frontend_matrices(config)
         self.state = T.init_vio_state(config)
         self._last_ts: Optional[int] = None
         self._imu_cursor = 0
@@ -65,7 +66,7 @@ class VioRunner:
         else:
             img = img.astype(jnp.float32) * self.config.image_gain
         self.state, odo = step(
-            self.state, img, window, jnp.float32(frame_dt), self.config
+            self.state, img, window, jnp.float32(frame_dt), self.config, self.mats
         )
         return odo
 

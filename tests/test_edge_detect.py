@@ -5,7 +5,7 @@ import jax.numpy as jnp
 
 from rebvio_tpu.configs import CameraConfig, EdgeDetectorConfig
 from rebvio_tpu.ops import edge_detect
-from rebvio_tpu.ops.scale_space import ScaleSpaceParams
+from rebvio_tpu.ops.scale_space import ScaleSpaceParams, build_scale_space
 from tests import oracle
 
 
@@ -28,15 +28,15 @@ def test_detect_matches_oracle():
     cam = CameraConfig(rows=H, cols=W, cx=W / 2, cy=H / 2, fx=100, fy=100,
                        k1=0, k2=0, k3=0, p1=0, p2=0)
     cfg = EdgeDetectorConfig(keylines_max=2048, keylines_ref=1024)
-    ss = ScaleSpaceParams()
+    ss = ScaleSpaceParams(H, W)
     img = _test_image(H, W)
     threshold = 0.05
 
-    m = edge_detect.detect(jnp.asarray(img), jnp.float32(threshold), cfg, cam, ss)
+    m = edge_detect.detect(jnp.asarray(img), jnp.float32(threshold), ss.matrices(), cfg, cam)
     count = int(m.count)
     assert count > 50, count
 
-    s0, dog, mag = ss.build(jnp.asarray(img))
+    s0, dog, mag = build_scale_space(jnp.asarray(img), ss.matrices())
     ks, id_img = oracle.detect_keylines(
         np.asarray(dog, np.float64), np.asarray(mag, np.float64), threshold,
         dict(plane_fit_size=cfg.plane_fit_size, pos_neg_threshold=cfg.pos_neg_threshold,
@@ -75,9 +75,9 @@ def test_keylines_cap_and_raster_order():
     cam = CameraConfig(rows=H, cols=W, cx=W / 2, cy=H / 2, fx=100, fy=100,
                        k1=0, k2=0, k3=0, p1=0, p2=0)
     cfg = EdgeDetectorConfig(keylines_max=64, keylines_ref=32)
-    ss = ScaleSpaceParams()
+    ss = ScaleSpaceParams(H, W)
     img = _test_image(H, W, seed=3)
-    m = edge_detect.detect(jnp.asarray(img), jnp.float32(0.02), cfg, cam, ss)
+    m = edge_detect.detect(jnp.asarray(img), jnp.float32(0.02), ss.matrices(), cfg, cam)
     assert int(m.count) == 64  # saturated at cap
     pos = np.asarray(m.pos)[:64]
     ridx = np.floor(pos[:, 1] + 0.5) * W + np.floor(pos[:, 0] + 0.5)
@@ -89,9 +89,9 @@ def test_join_edges_links_along_band():
     cam = CameraConfig(rows=H, cols=W, cx=W / 2, cy=H / 2, fx=100, fy=100,
                        k1=0, k2=0, k3=0, p1=0, p2=0)
     cfg = EdgeDetectorConfig(keylines_max=2048)
-    ss = ScaleSpaceParams()
+    ss = ScaleSpaceParams(H, W)
     img = _test_image(H, W, seed=1)
-    m = edge_detect.detect(jnp.asarray(img), jnp.float32(0.05), cfg, cam, ss)
+    m = edge_detect.detect(jnp.asarray(img), jnp.float32(0.05), ss.matrices(), cfg, cam)
     count = int(m.count)
     id_next = np.asarray(m.id_next)[:count]
     id_prev = np.asarray(m.id_prev)[:count]

@@ -18,7 +18,7 @@ def test_box_average_matches_oracle():
     rng = np.random.RandomState(0)
     img = rng.rand(20, 27).astype(np.float32) * 100
     for d in (3, 5, 7):
-        got = np.asarray(ss._box_average(jnp.asarray(img), d))
+        got = np.asarray(ss.smooth(jnp.asarray(img), (d,)))
         want = oracle.box_average(img.astype(np.float64), d)
         assert np.allclose(got, want, rtol=1e-4, atol=1e-3), f"d={d}"
 
@@ -34,8 +34,8 @@ def test_smooth_cascade():
 def test_gradient_magnitude():
     rng = np.random.RandomState(2)
     img = rng.rand(24, 33).astype(np.float32) * 255
-    p = ss.ScaleSpaceParams()
-    s0, dog, mag = p.build(jnp.asarray(img))
+    p = ss.ScaleSpaceParams(24, 33)
+    s0, dog, mag = ss.build_scale_space(jnp.asarray(img), p.matrices())
     s0_np = np.asarray(s0, np.float64)
     want = oracle.grad_mag(s0_np)
     assert np.allclose(np.asarray(mag), want, rtol=1e-3, atol=1e-2)
