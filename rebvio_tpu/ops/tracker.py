@@ -229,7 +229,7 @@ def ext_rot_vel(
     G = A.T @ A
     JtJ = G[:6, :6]
     JtF = G[:6, 6]
-    X = linalg.svd_solve(JtJ, JtF)
+    X = linalg.sym_solve(JtJ, JtF)
     return X, JtJ
 
 
