@@ -152,6 +152,15 @@ class PipelineConfig:
     # rebvio.cpp:236-252): when True, a tracking failure re-seeds the map from
     # the next detection and continues instead of freezing.
     recover_on_failure: bool = False
+    # TPU-first algorithm variants (see ops/distance_field.py,
+    # ops/matching.py):
+    #   df_mode "jfa"    — dense jump-flood nearest-keyline field (fast);
+    #           "raster" — the reference's gradient-ray scatter rasterization.
+    #   matcher "tube"   — probe the JFA field along the epipolar tube (fast);
+    #           "walk"   — the reference's first-hit pixel walk.
+    # ("tube" requires df_mode == "jfa".)
+    df_mode: str = "jfa"
+    matcher: str = "tube"
 
     @property
     def kmax(self) -> int:

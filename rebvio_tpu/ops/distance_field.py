@@ -68,3 +68,84 @@ def build_distance_field(
 def field_id(field: jnp.ndarray, kmax: int) -> jnp.ndarray:
     """Decode keyline id from a packed field (or lookup result); -1 if empty."""
     return jnp.where(field < 0, -1, kmax - 1 - (field % kmax))
+
+
+def _shift2d(a: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """Static shift with fill — pad+slice, no wraparound (dense, no gathers)."""
+    H, W = a.shape
+    py0, py1 = max(dy, 0), max(-dy, 0)
+    px0, px1 = max(dx, 0), max(-dx, 0)
+    ap = jnp.pad(a, ((py0, py1), (px0, px1)), constant_values=fill)
+    return jax.lax.slice(ap, (py1, px1), (py1 + H, px1 + W))
+
+
+@partial(jax.jit, static_argnames=("search_range", "rows", "cols"))
+def build_nn_field(
+    em: T.EdgeMap, search_range: int, rows: int, cols: int
+) -> jnp.ndarray:
+    """Dense nearest-keyline id field via jump flooding (JFA).
+
+    TPU-first alternative to the rasterized auxiliary field (core.hpp:37-59):
+    instead of 16k x 80 scattered writes, O(log R) dense passes of statically
+    shifted compare/selects produce, for every pixel, the id of the nearest
+    keyline (subpixel position metric) within ``search_range``.  The
+    reference's field approximates exactly this nearest-edge lookup but only
+    rasterizes along each keyline's gradient ray; the JFA field covers all
+    directions, so the tracker finds at least as many candidates (the
+    gradient-similarity gate in calculatefJ, core.cpp:56, still applies).
+
+    Returns an [rows*cols] int32 id image (-1 = no keyline within range).
+    """
+    kmax = em.kmax
+    use = em.valid & ((em.threshold <= 0.0) | (em.grad_norm >= em.threshold))
+
+    col = jnp.floor(em.pos[:, 0] + 0.5).astype(jnp.int32)
+    row = jnp.floor(em.pos[:, 1] + 0.5).astype(jnp.int32)
+    inb = use & (row >= 0) & (row < rows) & (col >= 0) & (col < cols)
+    flat = jnp.where(inb, row * cols + col, rows * cols)
+
+    BIG = jnp.float32(1e9)
+    sid = jnp.full((rows * cols,), -1, jnp.int32).at[flat].set(
+        jnp.arange(kmax, dtype=jnp.int32), mode="drop"
+    ).reshape(rows, cols)
+    sy = jnp.full((rows * cols,), BIG, jnp.float32).at[flat].set(
+        em.pos[:, 1], mode="drop"
+    ).reshape(rows, cols)
+    sx = jnp.full((rows * cols,), BIG, jnp.float32).at[flat].set(
+        em.pos[:, 0], mode="drop"
+    ).reshape(rows, cols)
+
+    yy = jnp.arange(rows, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(cols, dtype=jnp.float32)[None, :]
+
+    def d2_of(sy_, sx_):
+        return (yy - sy_) ** 2 + (xx - sx_) ** 2
+
+    best_d2 = jnp.where(sid >= 0, d2_of(sy, sx), BIG)
+
+    steps = []
+    s = 1
+    while s < search_range:
+        s *= 2
+    while s >= 1:
+        steps.append(s)
+        s //= 2
+    steps.append(1)  # extra refinement pass (JFA+1)
+
+    for s in steps:
+        for dy in (-s, 0, s):
+            for dx in (-s, 0, s):
+                if dy == 0 and dx == 0:
+                    continue
+                cid = _shift2d(sid, dy, dx, -1)
+                csy = _shift2d(sy, dy, dx, BIG)
+                csx = _shift2d(sx, dy, dx, BIG)
+                cd2 = jnp.where(cid >= 0, d2_of(csy, csx), BIG)
+                better = cd2 < best_d2
+                sid = jnp.where(better, cid, sid)
+                sy = jnp.where(better, csy, sy)
+                sx = jnp.where(better, csx, sx)
+                best_d2 = jnp.where(better, cd2, best_d2)
+
+    sid = jnp.where(best_d2 <= jnp.float32(search_range * search_range), sid, -1)
+    return sid.reshape(-1)

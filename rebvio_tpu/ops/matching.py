@@ -270,6 +270,128 @@ def directed_match(
     return new, jnp.sum(found).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("cfg", "core_cfg", "cam", "n_probes"))
+def directed_match_tube(
+    new: T.EdgeMap,
+    old: T.EdgeMap,
+    vel: jnp.ndarray,
+    Rvel: jnp.ndarray,
+    Rback: jnp.ndarray,
+    cfg: EdgeMapConfig,
+    core_cfg: CoreConfig,
+    cam: CameraConfig,
+    n_probes: int = 16,
+) -> Tuple[T.EdgeMap, jnp.ndarray]:
+    """Epipolar matching via the dense nearest-keyline field (TPU-first
+    redesign of searchMatch's pixel walk, edge_map.cpp:101-184).
+
+    Instead of rasterizing up to 88 pixels along the translation direction
+    and probing a sparse detection mask, a handful of probes sample the old
+    map's JFA nearest-field (``old.nn_id_img``); each candidate is gated by
+    (a) perpendicular distance to the epipolar line <= pixel uncertainty (the
+    'tube' — the walk implicitly enforced this by stepping on the line),
+    (b) its effective disparity t = (seed - p0) . dir inside the same
+    [dq_min, dq_max] window, and (c) the reference's gradient and
+    depth-consistency gates; the candidate closest to the predicted
+    disparity wins (the walk's first-hit order expands outward from the same
+    prediction).  Gather volume drops from ~1.4M to ~0.2M lanes.
+    """
+    kmax = new.kmax
+    H, W = old.kl_id_img.shape
+    fm = cam.fm
+    max_radius = core_cfg.search_range
+    pum = cfg.pixel_uncertainty_match
+    cang_min = math.cos(cfg.match_threshold_angle * math.pi / 180.0)
+
+    vel_b = Rback @ vel
+    Rvel_b = Rback @ Rvel @ Rback.T
+
+    p = jnp.concatenate(
+        [new.pos_img, jnp.full((kmax, 1), fm, jnp.float32)], axis=-1
+    ) @ Rback.T
+    pz = jnp.where(p[:, 2] != 0, p[:, 2], 1e-20)
+    pmx = p[:, 0] * fm / pz
+    pmy = p[:, 1] * fm / pz
+    k_rho = new.rho * fm / pz
+    pi0x = pmx + cam.cx
+    pi0y = pmy + cam.cy
+
+    t_x = -(vel_b[0] * fm - vel_b[2] * pmx)
+    t_y = -(vel_b[1] * fm - vel_b[2] * pmy)
+    norm_t = jnp.sqrt(t_x * t_x + t_y * t_y)
+    DrDv = jnp.stack([jnp.full_like(pmx, fm), jnp.full_like(pmx, fm), -(pmx + pmy)], axis=-1)
+    sigma2_t = jnp.einsum("ki,ij,kj->k", DrDv, Rvel_b, DrDv)
+
+    main = norm_t > 1e-6
+    nt_safe = jnp.where(main, norm_t, 1.0)
+    tx_m = t_x / nt_safe
+    ty_m = t_y / nt_safe
+    dq_rho_m = norm_t * k_rho
+    dq_min_m = jnp.maximum(0.0, norm_t * (k_rho - new.sigma_rho)) - pum
+    dq_max_m = jnp.minimum(max_radius, norm_t * (k_rho + new.sigma_rho)) + pum
+    over = dq_rho_m > dq_max_m
+    dq_rho_m2 = jnp.where(over, 0.5 * (dq_max_m + dq_min_m), dq_rho_m)
+    gn_safe = jnp.where(new.grad_norm > 0, new.grad_norm, 1.0)
+    tx = jnp.where(main, tx_m, new.grad[:, 0] / gn_safe)
+    ty = jnp.where(main, ty_m, new.grad[:, 1] / gn_safe)
+    nt_eff = jnp.where(main, norm_t, 1.0)
+    dq_rho = jnp.where(main, dq_rho_m2, 0.0)
+    dq_min = jnp.where(main, dq_min_m, -max_radius - pum)
+    dq_max = jnp.where(main, dq_max_m, max_radius + pum)
+
+    # probe positions spread over the admissible window
+    lam = jnp.arange(n_probes, dtype=jnp.float32)[None, :] / (n_probes - 1)
+    t_probe = dq_min[:, None] + (dq_max - dq_min)[:, None] * lam  # [K,P]
+    px_pix = tx[:, None] * t_probe + pi0x[:, None]
+    py_pix = ty[:, None] * t_probe + pi0y[:, None]
+    col = jnp.clip(jnp.floor(px_pix + 0.5).astype(jnp.int32), 0, W - 1)
+    row = jnp.clip(jnp.floor(py_pix + 0.5).astype(jnp.int32), 0, H - 1)
+    inb = (px_pix >= -0.5) & (px_pix < W - 0.5) & (py_pix >= -0.5) & (py_pix < H - 0.5)
+    oid = jnp.where(inb, old.nn_id_img[row * W + col], -1)
+    has = oid >= 0
+    os = jnp.clip(oid, 0, kmax - 1)
+
+    seed = old.pos[os]                        # [K,P,2] (x, y) pixel coords
+    dxs = seed[..., 0] - pi0x[:, None]
+    dys = seed[..., 1] - pi0y[:, None]
+    t_eff = dxs * tx[:, None] + dys * ty[:, None]
+    perp = jnp.abs(-dxs * ty[:, None] + dys * tx[:, None])
+    gate_tube = perp <= pum
+    gate_window = (t_eff >= dq_min[:, None]) & (t_eff <= dq_max[:, None])
+
+    g_old = old.grad[os]
+    gn_old = old.grad_norm[os]
+    gdot = g_old[..., 0] * new.grad[:, None, 0] + g_old[..., 1] * new.grad[:, None, 1]
+    denom = jnp.where(gn_old * new.grad_norm[:, None] > 0, gn_old * new.grad_norm[:, None], 1.0)
+    gate_ang = gdot / denom >= cang_min
+    gate_norm = jnp.abs(gn_old / jnp.where(new.grad_norm[:, None] > 0, new.grad_norm[:, None], 1.0) - 1.0) <= cfg.match_threshold_norm
+
+    rho_old = old.rho[os]
+    sr_old = old.sigma_rho[os]
+    v_rho_dr = pum * pum + sr_old * sr_old * nt_eff[:, None] ** 2 + sigma2_t[:, None] * rho_old * rho_old
+    resid = t_eff - nt_eff[:, None] * rho_old
+    gate_depth = ~(resid * resid > v_rho_dr)
+
+    ok = new.valid[:, None] & has & gate_tube & gate_window & gate_ang & gate_norm & gate_depth
+    prio = jnp.where(ok, jnp.abs(t_eff - dq_rho[:, None]), jnp.float32(1e9))
+    best = jnp.argmin(prio, axis=1)
+    found = jnp.take_along_axis(ok, best[:, None], axis=1)[:, 0]
+    match = jnp.where(found, jnp.take_along_axis(oid, best[:, None], axis=1)[:, 0], -1)
+
+    ms = jnp.clip(match, 0, kmax - 1)
+    new = new.replace(
+        rho=jnp.where(found, old.rho[ms], new.rho),
+        sigma_rho=jnp.where(found, old.sigma_rho[ms], new.sigma_rho),
+        match_id=jnp.where(found, match, new.match_id),
+        matches=jnp.where(found, old.matches[ms] + 1, new.matches),
+        match_pos_img=jnp.where(found[:, None], old.pos_img[ms], new.match_pos_img),
+        match_grad=jnp.where(found[:, None], old.grad[ms], new.match_grad),
+        match_grad_norm=jnp.where(found, old.grad_norm[ms], new.match_grad_norm),
+        match_id_keyframe=jnp.where(found, old.match_id_keyframe[ms], new.match_id_keyframe),
+    )
+    return new, jnp.sum(found).astype(jnp.int32)
+
+
 def regularize_1iter(em: T.EdgeMap, threshold: float) -> T.EdgeMap:
     """One Jacobi-style depth regularization pass (edge_map.cpp:220-259).
 

@@ -37,7 +37,7 @@ class TryVelOut(NamedTuple):
 def try_vel(
     old: T.EdgeMap,
     new: T.EdgeMap,
-    field: jnp.ndarray,
+    field_ids: jnp.ndarray,
     vel: jnp.ndarray,
     sigma_rho_min: jnp.ndarray,
     residuals: jnp.ndarray,
@@ -78,8 +78,7 @@ def try_vel(
     lookup_ok = use & front & inb
     xs = jnp.clip(x, 0, W - 1)
     ys = jnp.clip(y, 0, H - 1)
-    fid = DF.field_id(field[ys * W + xs], kmax)
-    fid = jnp.where(lookup_ok, fid, -1)
+    fid = jnp.where(lookup_ok, field_ids[ys * W + xs], -1)
     has_df = fid >= 0
     fs = jnp.clip(fid, 0, kmax - 1)
 
@@ -134,7 +133,7 @@ def try_vel(
 def minimize_vel(
     old: T.EdgeMap,
     new: T.EdgeMap,
-    field: jnp.ndarray,
+    field_ids: jnp.ndarray,
     vel0: jnp.ndarray,
     cfg: CoreConfig,
     cam: CameraConfig,
@@ -148,7 +147,7 @@ def minimize_vel(
     sigma_rho_min = estimate_quantile(old, cfg.quantile_cutoff, cfg.quantile_num_bins)
     residuals = jnp.zeros((old.kmax,), jnp.float32)
 
-    out = try_vel(old, new, field, vel0, sigma_rho_min, residuals, cfg, cam)
+    out = try_vel(old, new, field_ids, vel0, sigma_rho_min, residuals, cfg, cam)
     F, JtJ, JtF, residuals, mif = out
     vel = vel0
     u = 1e-3 * jnp.max(JtJ)
@@ -158,7 +157,7 @@ def minimize_vel(
         ApI = JtJ + jnp.eye(3, dtype=jnp.float32) * u
         h = linalg.invert3(ApI) @ (-JtF)
         vel_new = vel + h
-        o2 = try_vel(old, new, field, vel_new, sigma_rho_min, residuals, cfg, cam)
+        o2 = try_vel(old, new, field_ids, vel_new, sigma_rho_min, residuals, cfg, cam)
         residuals, mif = o2.residuals, o2.match_id_forward
         gain = (F - o2.score) / (0.5 * jnp.dot(h, u * h - JtF))
         accept = gain > 0.0

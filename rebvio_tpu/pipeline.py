@@ -62,6 +62,11 @@ def detect_frame(state: T.VioState, frame: jnp.ndarray, mats: FrontendMatrices,
         state.detector_threshold, state.keylines_count, config.detector
     )
     new_map = edge_detect.detect(frame, threshold, mats, config.detector, config.camera)
+    if config.df_mode == "jfa":
+        nn = DF.build_nn_field(
+            new_map, int(config.core.search_range), config.camera.rows, config.camera.cols
+        )
+        new_map = new_map.replace(nn_id_img=nn)
     return new_map, threshold
 
 
@@ -84,9 +89,13 @@ def estimate(
     eye3 = jnp.eye(3, dtype=jnp.float32)
 
     # --- distance field from the new map (rebvio.cpp:142) ---
-    field = DF.build_distance_field(
-        new_map, int(core_cfg.search_range), cam.rows, cam.cols
-    )
+    if config.df_mode == "jfa":
+        field_ids = new_map.nn_id_img  # built in detect_frame
+    else:
+        field = DF.build_distance_field(
+            new_map, int(core_cfg.search_range), cam.rows, cam.cols
+        )
+        field_ids = DF.field_id(field, new_map.kmax)
 
     Bg = ist.Bg
     W_Bg = ist.W_Bg
@@ -126,7 +135,7 @@ def estimate(
     # --- translation-only LM against the distance field (rebvio.cpp:169) ---
     Vg = jnp.zeros(3, jnp.float32)
     Vg, P_Vg, old_map, _score = tracker.minimize_vel(
-        old_map, new_map, field, Vg, core_cfg, cam
+        old_map, new_map, field_ids, Vg, core_cfg, cam
     )
 
     # --- forward matching into the new map (rebvio.cpp:172) ---
@@ -200,9 +209,15 @@ def estimate(
 
     # --- failure gates (rebvio.cpp:236-252) ---
     fail_nan = jnp.any(jnp.isnan(V))
-    new_map_dm, klm = matching.directed_match(
-        new_map, old_map, V, P_V, Rgva, config.edge_map, core_cfg, cam
-    )
+    if config.matcher == "tube":
+        assert config.df_mode == "jfa", "tube matcher requires the JFA field"
+        new_map_dm, klm = matching.directed_match_tube(
+            new_map, old_map, V, P_V, Rgva, config.edge_map, core_cfg, cam
+        )
+    else:
+        new_map_dm, klm = matching.directed_match(
+            new_map, old_map, V, P_V, Rgva, config.edge_map, core_cfg, cam
+        )
     new_map_post = _tree_where(fail_nan, new_map, new_map_dm)
     klm = jnp.where(fail_nan, 0, klm)
     fail_matches = (~fail_nan) & (klm < core_cfg.global_min_matches_threshold)

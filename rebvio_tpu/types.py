@@ -54,6 +54,8 @@ class EdgeMap(struct.PyTreeNode):
     valid: jnp.ndarray          # [K] bool
     count: jnp.ndarray          # [] int32 number of valid keylines
     kl_id_img: jnp.ndarray      # [H,W] int32 keyline id per pixel (-1 = none)
+    nn_id_img: jnp.ndarray      # [H*W] int32 nearest-keyline id (JFA field;
+                                # filled by the pipeline when df_mode="jfa")
     threshold: jnp.ndarray      # [] f32 detection threshold of this map
 
     @property
@@ -74,6 +76,7 @@ def empty_edge_map(kmax: int, rows: int, cols: int) -> EdgeMap:
         match_id_keyframe=i, matches=jnp.zeros((kmax,), jnp.int32),
         valid=jnp.zeros((kmax,), bool), count=jnp.zeros((), jnp.int32),
         kl_id_img=jnp.full((rows, cols), -1, jnp.int32),
+        nn_id_img=jnp.full((rows * cols,), -1, jnp.int32),
         threshold=jnp.full((), -1.0, jnp.float32),
     )
 

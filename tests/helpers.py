@@ -10,13 +10,19 @@ from rebvio_tpu import types as T
 
 def make_random_map(rng, K, kmax, H, W, margin=3):
     """Random valid keylines with plausible geometry; returns (EdgeMap, dict)."""
-    pos = np.stack(
-        [
-            rng.uniform(margin, W - margin, K),
-            rng.uniform(margin, H - margin, K),
-        ],
-        axis=-1,
-    ).astype(np.float32)
+    # one keyline per pixel cell, like the real detector (resample collisions)
+    pos = np.zeros((K, 2), np.float32)
+    cells_used = set()
+    for i in range(K):
+        for _ in range(200):
+            c = np.array([rng.uniform(margin, W - margin), rng.uniform(margin, H - margin)])
+            cell = (int(np.floor(c[1] + 0.5)), int(np.floor(c[0] + 0.5)))
+            if cell not in cells_used:
+                cells_used.add(cell)
+                pos[i] = c
+                break
+        else:
+            raise RuntimeError("could not place unique keyline")
     ang = rng.uniform(0, 2 * np.pi, K)
     mag = rng.uniform(50.0, 300.0, K)
     grad = np.stack([np.cos(ang) * mag, np.sin(ang) * mag], axis=-1).astype(np.float32)
@@ -24,16 +30,6 @@ def make_random_map(rng, K, kmax, H, W, margin=3):
     rho = rng.uniform(0.05, 3.0, K).astype(np.float32)
     sigma_rho = rng.uniform(0.1, 10.0, K).astype(np.float32)
 
-    # dense id image: integer positions, last-writer-wins like the detector's
-    # unique raster cells; make positions unique cells to avoid ambiguity
-    cells = set()
-    keep = []
-    for i in range(K):
-        c = (int(round(pos[i, 1])), int(round(pos[i, 0])))
-        if c in cells:
-            pos[i] += 0.0  # still keep; id image will hold the later index
-        cells.add(c)
-        keep.append(i)
     id_img = np.full((H, W), -1, np.int32)
     for i in range(K):
         id_img[int(np.floor(pos[i, 1] + 0.5)), int(np.floor(pos[i, 0] + 0.5))] = i

@@ -1,0 +1,56 @@
+import numpy as np
+import jax.numpy as jnp
+
+from rebvio_tpu.ops import distance_field as DF
+from tests.helpers import make_random_map
+
+
+def _brute_nn(pos, valid, H, W, R):
+    """Exact nearest-keyline id per pixel within radius R (subpixel metric)."""
+    ids = np.full((H, W), -1, np.int32)
+    P = pos[valid]
+    pid = np.nonzero(valid)[0]
+    for y in range(H):
+        for x in range(W):
+            d2 = (P[:, 0] - x) ** 2 + (P[:, 1] - y) ** 2
+            j = np.argmin(d2)
+            if d2[j] <= R * R:
+                ids[y, x] = pid[j]
+    return ids
+
+
+def test_jfa_matches_brute_force_nn():
+    rng = np.random.RandomState(0)
+    H, W, K, kmax, R = 40, 56, 30, 64, 8
+    em, d = make_random_map(rng, K, kmax, H, W)
+    got = np.asarray(DF.build_nn_field(em, R, H, W)).reshape(H, W)
+    want = _brute_nn(np.asarray(em.pos), np.asarray(em.valid), H, W, R)
+    # JFA is near-exact; require distance-correctness rather than exact ids
+    # (ties / JFA approximation may pick a different equally-near keyline)
+    pos = np.asarray(em.pos)
+    mismatch = 0
+    for y in range(H):
+        for x in range(W):
+            g, w = got[y, x], want[y, x]
+            if g == w:
+                continue
+            if (g < 0) != (w < 0):
+                mismatch += 1
+                continue
+            dg = (pos[g, 0] - x) ** 2 + (pos[g, 1] - y) ** 2
+            dw = (pos[w, 0] - x) ** 2 + (pos[w, 1] - y) ** 2
+            if abs(dg - dw) > 1e-3:  # picked a strictly farther keyline
+                mismatch += 1
+    assert mismatch <= 0.002 * H * W, mismatch
+
+
+def test_jfa_respects_threshold_gate():
+    rng = np.random.RandomState(1)
+    H, W, K, kmax, R = 32, 32, 20, 32, 6
+    em, d = make_random_map(rng, K, kmax, H, W)
+    thr = float(np.median(d["grad_norm"]))
+    em = em.replace(threshold=jnp.asarray(thr, jnp.float32))
+    got = np.asarray(DF.build_nn_field(em, R, H, W))
+    gated_out = set(np.nonzero(d["grad_norm"] < thr)[0])
+    present = set(int(i) for i in got[got >= 0])
+    assert not (present & gated_out)

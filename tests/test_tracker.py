@@ -12,11 +12,12 @@ def _setup(seed=0, H=48, W=64, K=80, kmax=128, R=8):
     old_em, old_d = make_random_map(rng, K, kmax, H, W)
     new_em, new_d = make_random_map(rng, K, kmax, H, W)
     field = DF.build_distance_field(new_em, R, H, W)
-    idf = np.asarray(DF.field_id(field, kmax))
+    field_ids = DF.field_id(field, kmax)
+    idf = np.asarray(field_ids)
     cam = CameraConfig(rows=H, cols=W, cx=W / 2, cy=H / 2, fx=100, fy=100,
                        k1=0, k2=0, k3=0, p1=0, p2=0)
     cfg = CoreConfig(search_range=R)
-    return rng, old_em, old_d, new_em, new_d, field, idf, cam, cfg
+    return rng, old_em, old_d, new_em, new_d, field_ids, idf, cam, cfg
 
 
 def test_try_vel_matches_oracle():
