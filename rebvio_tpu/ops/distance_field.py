@@ -132,20 +132,39 @@ def build_nn_field(
         s //= 2
     steps.append(1)  # extra refinement pass (JFA+1)
 
+    # One roll-compare-select body driven by a (dy, dx) schedule keeps the
+    # compiled graph small (a fori_loop instead of 50+ unrolled passes).
+    # jnp.roll wraps around, but wrapped candidates carry their *absolute*
+    # seed coordinates from the far edge, so the distance metric rejects
+    # them automatically — no border fill needed.
+    sched = []
     for s in steps:
         for dy in (-s, 0, s):
             for dx in (-s, 0, s):
                 if dy == 0 and dx == 0:
                     continue
-                cid = _shift2d(sid, dy, dx, -1)
-                csy = _shift2d(sy, dy, dx, BIG)
-                csx = _shift2d(sx, dy, dx, BIG)
-                cd2 = jnp.where(cid >= 0, d2_of(csy, csx), BIG)
-                better = cd2 < best_d2
-                sid = jnp.where(better, cid, sid)
-                sy = jnp.where(better, csy, sy)
-                sx = jnp.where(better, csx, sx)
-                best_d2 = jnp.where(better, cd2, best_d2)
+                sched.append((dy, dx))
+    dys = jnp.asarray([d[0] for d in sched], jnp.int32)
+    dxs = jnp.asarray([d[1] for d in sched], jnp.int32)
+
+    def body(i, carry):
+        sid, sy, sx, best_d2 = carry
+        dy, dx = dys[i], dxs[i]
+        cid = jnp.roll(sid, (dy, dx), (0, 1))
+        csy = jnp.roll(sy, (dy, dx), (0, 1))
+        csx = jnp.roll(sx, (dy, dx), (0, 1))
+        cd2 = jnp.where(cid >= 0, d2_of(csy, csx), BIG)
+        better = cd2 < best_d2
+        return (
+            jnp.where(better, cid, sid),
+            jnp.where(better, csy, sy),
+            jnp.where(better, csx, sx),
+            jnp.where(better, cd2, best_d2),
+        )
+
+    sid, sy, sx, best_d2 = jax.lax.fori_loop(
+        0, len(sched), body, (sid, sy, sx, best_d2)
+    )
 
     sid = jnp.where(best_d2 <= jnp.float32(search_range * search_range), sid, -1)
     return sid.reshape(-1)
