@@ -4,16 +4,27 @@ Runs the complete per-frame step (undistorted full-res EuRoC-shaped frames,
 16k keylines, full VIO path) on synthetic wireframe imagery with all inputs
 device-resident, and reports steady-state frames/s.
 
+Synchronization note: on the remote-device backend used here,
+``block_until_ready`` returns before execution completes; a device->host
+value readback is the only true fence, so timing is measured between full
+readbacks and the (measured) readback round-trip is subtracted.
+
 vs_baseline: the reference publishes no benchmark numbers (BASELINE.md); its
 operating claim is real-time at the EuRoC camera rate of 20 fps on CPU
-(README "Realtime", 752x480 @ 20 Hz hard-coded).  vs_baseline is therefore
-frames/s / 20.
+(752x480 @ 20 Hz hard-coded).  vs_baseline is therefore frames/s / 20.
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def _readback(tree):
+    import jax
+
+    for leaf in jax.tree.leaves(tree):
+        np.asarray(leaf)
 
 
 def main():
@@ -24,16 +35,16 @@ def main():
     from rebvio_tpu.configs import PipelineConfig
     from rebvio_tpu.data import synthetic
     from rebvio_tpu.ops.imu import pack_imu_window
-    from rebvio_tpu.pipeline import step
+    from rebvio_tpu.pipeline import frontend_matrices, step
 
     config = PipelineConfig()
     cam = config.camera
+    mats = frontend_matrices(config)
 
     n_frames = 8
     seq = synthetic.generate(cam, n_frames=n_frames, seed=0)
     frames = [jnp.asarray(seq.images[i] * config.image_gain) for i in range(n_frames)]
 
-    # IMU windows per frame
     windows = []
     cursor = 0
     for i in range(n_frames):
@@ -50,19 +61,24 @@ def main():
     dt = jnp.float32(0.05)
 
     state = T.init_vio_state(config)
-    # warmup / compile
+    # warmup / compile, fenced by readback
     s = state
-    for i in range(2):
-        s, odo = step(s, frames[i % n_frames], windows[i % n_frames], dt, config)
-    jax.block_until_ready(odo.position)
+    for i in range(3):
+        s, odo = step(s, frames[i % n_frames], windows[i % n_frames], dt, config, mats)
+    _readback(odo.position)
 
-    n_iter = 60
+    # measure readback round-trip to subtract
+    t0 = time.perf_counter()
+    _readback(odo.position)
+    rtt = time.perf_counter() - t0
+
+    n_iter = 40
     s = state
     t0 = time.perf_counter()
     for i in range(n_iter):
-        s, odo = step(s, frames[i % n_frames], windows[i % n_frames], dt, config)
-    jax.block_until_ready(odo.position)
-    elapsed = time.perf_counter() - t0
+        s, odo = step(s, frames[i % n_frames], windows[i % n_frames], dt, config, mats)
+    _readback(odo.position)
+    elapsed = max(time.perf_counter() - t0 - rtt, 1e-9)
     fps = n_iter / elapsed
 
     print(json.dumps({

@@ -123,14 +123,12 @@ class ScaleSpaceParams:
             XW=_offset_band(W, d5).T,   # right-multiply: (img @ XW)[r,i] = sum_j img[r,j](j-i)
             YH=_offset_band(H, d5),     # left-multiply:  (YH @ img)[i,c] = sum_j (j-i) img[j,c]
         )
-        self._device_mats = None
-
     def matrices(self) -> FrontendMatrices:
-        if self._device_mats is None:
-            self._device_mats = FrontendMatrices(
-                **{k: jnp.asarray(v, jnp.float32) for k, v in self._np_mats.items()}
-            )
-        return self._device_mats
+        # Constructed fresh each call: a cached device array would leak
+        # tracers when first materialized inside a jit trace.
+        return FrontendMatrices(
+            **{k: jnp.asarray(v, jnp.float32) for k, v in self._np_mats.items()}
+        )
 
 
 @jax.jit

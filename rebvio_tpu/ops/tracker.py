@@ -153,7 +153,8 @@ def minimize_vel(
     u = 1e-3 * jnp.max(JtJ)
     v = jnp.float32(2.0)
 
-    for _ in range(cfg.iterations):
+    def lm_iter(_, carry):
+        vel, F, JtJ, JtF, u, v, residuals, mif = carry
         ApI = JtJ + jnp.eye(3, dtype=jnp.float32) * u
         h = linalg.invert3(ApI) @ (-JtF)
         vel_new = vel + h
@@ -171,6 +172,11 @@ def minimize_vel(
             u * v,
         )
         v = jnp.where(accept, 2.0, v * 2.0)
+        return (vel, F, JtJ, JtF, u, v, residuals, mif)
+
+    vel, F, JtJ, JtF, u, v, residuals, mif = jax.lax.fori_loop(
+        0, cfg.iterations, lm_iter, (vel, F, JtJ, JtF, u, v, residuals, mif)
+    )
 
     Rvel = linalg.invert3(JtJ)
     old = old.replace(match_id_forward=mif)

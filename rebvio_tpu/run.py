@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--timing", action="store_true")
     ap.add_argument("--preset", choices=["euroc", "half", "small"], default="euroc",
                     help="camera/detector size preset (half/small for quick runs)")
+    ap.add_argument("--ba", action="store_true",
+                    help="build a keyframe map during the run and refine it "
+                         "with Schur-complement bundle adjustment")
+    ap.add_argument("--kf-every", type=int, default=5)
     args = ap.parse_args(argv)
 
     log = rlog.init()
@@ -87,8 +91,32 @@ def main(argv=None):
         runner.state = checkpoint.load(args.resume, runner.state)
         log.info("resumed state from %s", args.resume)
 
+    builder = None
+    if args.ba:
+        from rebvio_tpu.ba.keyframe_map import KeyframeMapBuilder
+
+        builder = KeyframeMapBuilder(config, kf_every=args.kf_every)
+
     t0 = time.time()
-    res = runner.run(seq)
+    if builder is None:
+        res = runner.run(seq)
+    else:
+        ts_l, ori_l, pos_l, nm_l, ok_l = [], [], [], [], []
+        for i in range(len(seq.images)):
+            odo = runner.process_frame(
+                seq.images[i], int(seq.ts_us[i]), seq.imu_ts_us, seq.imu_gyro, seq.imu_acc
+            )
+            builder.add_frame(runner.state.edge_map, np.asarray(odo.orientation),
+                              np.asarray(odo.position), K_scale=float(runner.state.K))
+            ts_l.append(int(seq.ts_us[i]))
+            ori_l.append(np.asarray(odo.orientation))
+            pos_l.append(np.asarray(odo.position))
+            nm_l.append(int(odo.num_matches))
+            ok_l.append(bool(odo.run_ok))
+        from rebvio_tpu.runner import RunResult
+
+        res = RunResult(np.asarray(ts_l), np.stack(ori_l), np.stack(pos_l),
+                        np.asarray(nm_l), np.asarray(ok_l))
     elapsed = time.time() - t0
     n = len(res.ts_us)
     log.info("%d frames in %.2fs (%.1f fps), run_ok=%s", n, elapsed, n / elapsed, bool(res.run_ok[-1]))
@@ -103,6 +131,24 @@ def main(argv=None):
         log.info("state checkpoint written to %s", args.checkpoint_out)
 
     out = {"frames": n, "fps": n / elapsed, "run_ok": bool(res.run_ok[-1])}
+    if builder is not None and builder.n_keyframes() >= 2:
+        from rebvio_tpu.ba import problem as bap
+
+        p = builder.build_problem(min_obs=2)
+        if p is not None:
+            terms0 = bap.accumulate_terms(p)
+            p_opt, hist = bap.optimize(p, iters=10, huber_delta=3.0)
+            terms1 = bap.accumulate_terms(p_opt)
+            n_obs = max(int(terms0.n_obs), 1)
+            out["ba_keyframes"] = builder.n_keyframes()
+            out["ba_landmarks"] = int(np.asarray(p.lm_valid).sum())
+            out["ba_rms_before_px"] = float(np.sqrt(float(terms0.cost) / n_obs))
+            out["ba_rms_after_px"] = float(np.sqrt(float(terms1.cost) / n_obs))
+            if gt is not None:
+                kf_idx = np.asarray([k.index for k in builder.keyframes])
+                out["ba_ate_sim3"] = ev.ate_rmse(
+                    np.asarray(p_opt.t), gt[kf_idx], align=True, with_scale=True
+                )
     if gt is not None:
         out["ate_sim3"] = ev.ate_rmse(res.position, gt, align=True, with_scale=True)
         out["ate_se3"] = ev.ate_rmse(res.position, gt, align=True, with_scale=False)
