@@ -351,7 +351,13 @@ def directed_match_tube(
     has = oid >= 0
     os = jnp.clip(oid, 0, kmax - 1)
 
-    seed = old.pos[os]                        # [K,P,2] (x, y) pixel coords
+    # one packed [K,P,8] slice-gather of all old-keyline fields
+    old_pack = jnp.concatenate(
+        [old.pos, old.grad, old.grad_norm[:, None], old.rho[:, None],
+         old.sigma_rho[:, None], jnp.zeros((kmax, 1), jnp.float32)], axis=-1,
+    )
+    rowp = old_pack[os]
+    seed = rowp[..., 0:2]                     # (x, y) pixel coords
     dxs = seed[..., 0] - pi0x[:, None]
     dys = seed[..., 1] - pi0y[:, None]
     t_eff = dxs * tx[:, None] + dys * ty[:, None]
@@ -359,15 +365,15 @@ def directed_match_tube(
     gate_tube = perp <= pum
     gate_window = (t_eff >= dq_min[:, None]) & (t_eff <= dq_max[:, None])
 
-    g_old = old.grad[os]
-    gn_old = old.grad_norm[os]
+    g_old = rowp[..., 2:4]
+    gn_old = rowp[..., 4]
     gdot = g_old[..., 0] * new.grad[:, None, 0] + g_old[..., 1] * new.grad[:, None, 1]
     denom = jnp.where(gn_old * new.grad_norm[:, None] > 0, gn_old * new.grad_norm[:, None], 1.0)
     gate_ang = gdot / denom >= cang_min
     gate_norm = jnp.abs(gn_old / jnp.where(new.grad_norm[:, None] > 0, new.grad_norm[:, None], 1.0) - 1.0) <= cfg.match_threshold_norm
 
-    rho_old = old.rho[os]
-    sr_old = old.sigma_rho[os]
+    rho_old = rowp[..., 5]
+    sr_old = rowp[..., 6]
     v_rho_dr = pum * pum + sr_old * sr_old * nt_eff[:, None] ** 2 + sigma2_t[:, None] * rho_old * rho_old
     resid = t_eff - nt_eff[:, None] * rho_old
     gate_depth = ~(resid * resid > v_rho_dr)

@@ -34,6 +34,17 @@ class TryVelOut(NamedTuple):
     match_id_forward: jnp.ndarray  # [K] int32
 
 
+def pack_target_fields(new: T.EdgeMap) -> jnp.ndarray:
+    """[K,8] packed per-keyline fields of the distance-field map: one
+    8-contiguous slice gather replaces 4 separate gathers per tryVel pass
+    (TPU gather cost scales with index count, not element count)."""
+    kmax = new.kmax
+    z = jnp.zeros((kmax, 1), jnp.float32)
+    return jnp.concatenate(
+        [new.grad, new.grad_norm[:, None], new.pos, z, z, z], axis=-1
+    )
+
+
 def try_vel(
     old: T.EdgeMap,
     new: T.EdgeMap,
@@ -43,6 +54,7 @@ def try_vel(
     residuals: jnp.ndarray,
     cfg: CoreConfig,
     cam: CameraConfig,
+    new_pack: jnp.ndarray = None,
 ) -> TryVelOut:
     """One residual/Jacobian pass of the translation tracker (core.cpp:78-148).
 
@@ -54,6 +66,8 @@ def try_vel(
     H, W = new.kl_id_img.shape
     fm = cam.fm
     R = cfg.search_range
+    if new_pack is None:
+        new_pack = pack_target_fields(new)
 
     # Participation gate (core.cpp:88-91); min_match_threshold is 0 in the
     # reference config so the matches-count clause never fires.
@@ -84,8 +98,10 @@ def try_vel(
 
     # gradient similarity test (testfk, core.cpp:39-44):
     # |g_new . g_old - |g_new|^2| <= thr * |g_new|^2  (norm from new keyline)
-    gN = new.grad[fs]
-    gnN = new.grad_norm[fs]
+    row = new_pack[fs]  # [K,8] single slice-gather
+    gN = row[:, 0:2]
+    gnN = row[:, 2]
+    posN = row[:, 3:5]
     dot = gN[:, 0] * old.grad[:, 0] + gN[:, 1] * old.grad[:, 1]
     n2 = gnN * gnN
     sim_ok = jnp.abs(dot - n2) <= cfg.match_threshold * n2
@@ -94,8 +110,8 @@ def try_vel(
     gnN_safe = jnp.where(gnN > 0, gnN, 1.0)
     gnx = gN[:, 0] / gnN_safe
     gny = gN[:, 1] / gnN_safe
-    dx = p_xc - new.pos[fs, 0]
-    dy = p_yc - new.pos[fs, 1]
+    dx = p_xc - posN[:, 0]
+    dy = p_yc - posN[:, 1]
     fi = dx * gnx + dy * gny
 
     # residual f (pre-weight): matched -> fi/sigma; else saturation R/sigma
@@ -146,8 +162,9 @@ def minimize_vel(
     """
     sigma_rho_min = estimate_quantile(old, cfg.quantile_cutoff, cfg.quantile_num_bins)
     residuals = jnp.zeros((old.kmax,), jnp.float32)
+    new_pack = pack_target_fields(new)
 
-    out = try_vel(old, new, field_ids, vel0, sigma_rho_min, residuals, cfg, cam)
+    out = try_vel(old, new, field_ids, vel0, sigma_rho_min, residuals, cfg, cam, new_pack)
     F, JtJ, JtF, residuals, mif = out
     vel = vel0
     u = 1e-3 * jnp.max(JtJ)
@@ -158,7 +175,7 @@ def minimize_vel(
         ApI = JtJ + jnp.eye(3, dtype=jnp.float32) * u
         h = linalg.invert3(ApI) @ (-JtF)
         vel_new = vel + h
-        o2 = try_vel(old, new, field_ids, vel_new, sigma_rho_min, residuals, cfg, cam)
+        o2 = try_vel(old, new, field_ids, vel_new, sigma_rho_min, residuals, cfg, cam, new_pack)
         residuals, mif = o2.residuals, o2.match_id_forward
         gain = (F - o2.score) / (0.5 * jnp.dot(h, u * h - JtF))
         accept = gain > 0.0
