@@ -94,7 +94,9 @@ def try_vel(
     ys = jnp.clip(y, 0, H - 1)
     fid = jnp.where(lookup_ok, field_ids[ys * W + xs], -1)
     has_df = fid >= 0
-    fs = jnp.clip(fid, 0, kmax - 1)
+    # clip against the TARGET map's size (differs from old.kmax when the old
+    # map's keyline axis is sharded across devices, parallel/keyline_shard.py)
+    fs = jnp.clip(fid, 0, new_pack.shape[0] - 1)
 
     # gradient similarity test (testfk, core.cpp:39-44):
     # |g_new . g_old - |g_new|^2| <= thr * |g_new|^2  (norm from new keyline)

@@ -54,3 +54,16 @@ def test_jfa_respects_threshold_gate():
     gated_out = set(np.nonzero(d["grad_norm"] < thr)[0])
     present = set(int(i) for i in got[got >= 0])
     assert not (present & gated_out)
+
+
+def test_pallas_jfa_matches_xla_jfa():
+    from rebvio_tpu.ops.pallas_kernels import nn_field_pallas
+
+    rng = np.random.RandomState(2)
+    H, W, K, kmax, R = 40, 56, 36, 64, 8
+    from tests.helpers import make_random_map
+
+    em, d = make_random_map(rng, K, kmax, H, W)
+    want = np.asarray(DF.build_nn_field(em, R, H, W))
+    got = np.asarray(nn_field_pallas(em, R, H, W, interpret=True))
+    assert np.array_equal(got, want)
