@@ -1,0 +1,51 @@
+import numpy as np
+import jax.numpy as jnp
+
+from rebvio_tpu.camera import Undistorter, distort_normalized, make_undistort_map, remap_bilinear
+from rebvio_tpu.configs import CameraConfig
+
+
+def test_undistort_identity_without_distortion():
+    cam = CameraConfig(rows=32, cols=48, cx=24, cy=16, fx=40, fy=40,
+                       k1=0, k2=0, k3=0, p1=0, p2=0)
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 48).astype(np.float32) * 255
+    u = Undistorter(cam, gain=1.0)
+    out = np.asarray(u(jnp.asarray(img)))
+    np.testing.assert_allclose(out, img, atol=1e-3)
+
+
+def test_undistort_inverts_distortion():
+    """Project a grid through the forward distortion, then check the remap
+    samples the distorted location (cv::undistort semantics)."""
+    cam = CameraConfig()  # EuRoC calibration
+    grid = make_undistort_map(cam)
+    # center pixel should map near itself
+    cy, cx = int(cam.cy), int(cam.cx)
+    assert abs(grid[cy, cx, 0] - cam.cx) < 1.0
+    assert abs(grid[cy, cx, 1] - cam.cy) < 1.0
+    # a corner-ish pixel under EuRoC's barrel distortion maps inward
+    y, x = 40, 60
+    xn = (x - cam.cx) / cam.fm
+    yn = (y - cam.cy) / cam.fm
+    xd, yd = distort_normalized(cam, np.asarray(xn), np.asarray(yn))
+    assert np.isclose(grid[y, x, 0], cam.fm * xd + cam.cx, atol=1e-3)
+    assert np.isclose(grid[y, x, 1], cam.fm * yd + cam.cy, atol=1e-3)
+
+
+def test_remap_out_of_bounds_zero():
+    img = jnp.ones((8, 8), jnp.float32)
+    grid = np.zeros((8, 8, 2), np.float32)
+    grid[..., 0] = -5.0  # off image
+    grid[..., 1] = 3.0
+    out = np.asarray(remap_bilinear(img, jnp.asarray(grid)))
+    assert np.all(out == 0.0)
+
+
+def test_camera_config_json_roundtrip(tmp_path):
+    cam = CameraConfig()
+    p = str(tmp_path / "cam.json")
+    cam.to_json(p)
+    cam2 = CameraConfig.from_json(p)
+    assert cam2 == cam
+    assert np.allclose(cam2.R_c2i_np(), cam.R_c2i_np())
