@@ -62,6 +62,9 @@ class CameraConfig:
     def from_json(path: str) -> "CameraConfig":
         with open(path, "r") as f:
             d = json.load(f)
+        for k in ("R_c2i", "t_c2i"):
+            if k in d:
+                d[k] = tuple(d[k])
         return CameraConfig(**d)
 
     def to_json(self, path: str) -> None:

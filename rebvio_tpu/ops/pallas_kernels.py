@@ -69,8 +69,8 @@ def nn_field_pallas(
     r2 = float(search_range * search_range)
 
     def kernel(sid_ref, sy_ref, sx_ref, out_ref):
-        yy = jax.lax.broadcasted_iota(jnp.float32, (rows, cols), 0)
-        xx = jax.lax.broadcasted_iota(jnp.float32, (rows, cols), 1)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(jnp.float32)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1).astype(jnp.float32)
         sid = sid_ref[:]
         sy = sy_ref[:]
         sx = sx_ref[:]
