@@ -60,3 +60,31 @@ def test_cli_synthetic(tmp_path, capsys):
 
     ts, ori, pos = read_odometry(odo)
     assert len(ts) == 10
+
+
+def test_visualize_edge_image(tmp_path):
+    import jax.numpy as jnp
+    from rebvio_tpu import types as T
+    from rebvio_tpu.utils.visualize import render_edge_image, write_png_rgb
+    from rebvio_tpu.data.euroc import _read_png_gray
+
+    em = T.empty_edge_map(8, 16, 20)
+    import numpy as np
+
+    pos = np.zeros((8, 2), np.float32)
+    pos[0] = [5, 5]
+    pos[1] = [10, 7]
+    valid = np.zeros(8, bool)
+    valid[:2] = True
+    mid = np.full(8, -1, np.int32)
+    mid[1] = 0
+    em = em.replace(pos=jnp.asarray(pos), valid=jnp.asarray(valid),
+                    match_id=jnp.asarray(mid))
+    frame = np.full((16, 20), 100.0, np.float32)
+    rgb = render_edge_image(frame, em, gain=1.0)
+    assert tuple(rgb[5, 5]) == (200, 40, 40)
+    assert tuple(rgb[7, 10]) == (255, 64, 64)
+    p = str(tmp_path / "viz.png")
+    write_png_rgb(p, rgb)
+    gray = _read_png_gray(p)  # reads first channel
+    assert gray.shape == (16, 20)
