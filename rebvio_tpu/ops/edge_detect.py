@@ -63,16 +63,22 @@ def detect(
     mthr = threshold * cfg.max_image_value
     mag_threshold = mthr * mthr
 
-    # positive/negative balance of DoG over the window
-    sign_map = jnp.where(dog > 0.0, 1.0, -1.0)
-    pn = mats.S5H @ sign_map @ mats.S5W
-
-    # plane fit theta = (gx, gy, c): x/y ramps and window mean as banded
-    # sandwiches; Sxx = Syy = 50, area = 25 for the 5x5 window
+    # positive/negative balance + plane fit theta = (gx, gy, c): all four
+    # window reductions fused into 4 matmuls via concatenation (pn and t2
+    # share S5H/S5W sandwiches; t0/t1 use the x/y ramp bands).
+    # Sxx = Syy = 50, area = 25 for the 5x5 window.
     sxx = float((2 * pfs + 1) * sum(i * i for i in range(-pfs, pfs + 1)))
-    t0 = (mats.S5H @ (dog @ mats.XW)) / sxx
-    t1 = ((mats.YH @ dog) @ mats.S5W) / sxx
-    t2 = (mats.S5H @ dog @ mats.S5W) / float(n_win)
+    sign_map = jnp.where(dog > 0.0, 1.0, -1.0)
+    dogXW = dog @ mats.XW
+    lcat = mats.S5H @ jnp.concatenate([sign_map, dog, dogXW], axis=1)  # [H,3W]
+    S5Hsign = lcat[:, :W]
+    S5Hdog = lcat[:, W:2 * W]
+    t0 = lcat[:, 2 * W:] / sxx
+    YHdog = mats.YH @ dog
+    rcat = jnp.concatenate([S5Hsign, S5Hdog, YHdog], axis=0) @ mats.S5W  # [3H,W]
+    pn = rcat[:H]
+    t2 = rcat[H:2 * H] / float(n_win)
+    t1 = rcat[2 * H:] / sxx
     g2 = t0 * t0 + t1 * t1
     tmp = t2 / jnp.where(g2 > 0, g2, 1.0)
     xs = -t0 * tmp
