@@ -44,7 +44,14 @@ def main(argv=None):
                     help="build a keyframe map during the run and refine it "
                          "with Schur-complement bundle adjustment")
     ap.add_argument("--kf-every", type=int, default=5)
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default",
+                    help="force the JAX backend (cpu for quick local runs)")
     args = ap.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     log = rlog.init()
     timing.enable(args.timing)
@@ -96,6 +103,13 @@ def main(argv=None):
         from rebvio_tpu.ba.keyframe_map import KeyframeMapBuilder
 
         builder = KeyframeMapBuilder(config, kf_every=args.kf_every)
+
+    # warm the jit on frame 0 so the fps figure reflects steady state
+    runner.process_frame(
+        np.asarray(seq.images[0]), int(seq.ts_us[0]) - 1,
+        np.asarray([], dtype=np.int64), np.zeros((0, 3)), np.zeros((0, 3)),
+    )
+    runner.reset()
 
     t0 = time.time()
     if builder is None:
