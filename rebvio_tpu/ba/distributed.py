@@ -15,9 +15,6 @@ observations must be co-located with their landmarks (the host-side builder
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,6 @@ TPU-native replacement for a per-pixel CPU loop.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import dataclasses
 import os
 import struct
 import zlib
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ reference's logger: "ts ox oy oz px py pz" with 6 decimals
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -70,15 +70,6 @@ def field_id(field: jnp.ndarray, kmax: int) -> jnp.ndarray:
     return jnp.where(field < 0, -1, kmax - 1 - (field % kmax))
 
 
-def _shift2d(a: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
-    """Static shift with fill — pad+slice, no wraparound (dense, no gathers)."""
-    H, W = a.shape
-    py0, py1 = max(dy, 0), max(-dy, 0)
-    px0, px1 = max(dx, 0), max(-dx, 0)
-    ap = jnp.pad(a, ((py0, py1), (px0, px1)), constant_values=fill)
-    return jax.lax.slice(ap, (py1, px1), (py1 + H, px1 + W))
-
-
 @partial(jax.jit, static_argnames=("search_range", "rows", "cols"))
 def build_nn_field(
     em: T.EdgeMap, search_range: int, rows: int, cols: int

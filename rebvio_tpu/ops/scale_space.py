@@ -23,7 +23,6 @@ ops, so they upload to the device once.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import List, NamedTuple, Tuple
 
 import jax

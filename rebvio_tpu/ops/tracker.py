@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from rebvio_tpu import types as T
 from rebvio_tpu.configs import CameraConfig, CoreConfig
 from rebvio_tpu.geometry import linalg
-from rebvio_tpu.ops import distance_field as DF
 from rebvio_tpu.ops.matching import estimate_quantile
 
 

@@ -11,9 +11,6 @@ communication-optimal decomposition for this kernel.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

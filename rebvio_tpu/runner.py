@@ -10,7 +10,7 @@ on device.  Undistortion happens on device via the precomputed remap.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 import jax

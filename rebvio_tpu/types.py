@@ -11,8 +11,6 @@ validity mask; "continue" gates in the reference's loops become masked lanes.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import struct
 
