@@ -177,14 +177,22 @@ def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:
     id_next = jnp.where(c1 >= 0, c1, jnp.where(c2 >= 0, c2, c3))
     id_next = jnp.where(valid, id_next, -1)
 
-    # id_prev[target] = idx of the keyline that claimed it; later idx wins,
-    # matching the sequential overwrite in joinEdges (edge_detector.cpp:133).
-    tgt = jnp.where(id_next >= 0, id_next, kmax)
-    id_prev = (
-        jnp.full((kmax,), -1, jnp.int32)
-        .at[tgt]
-        .max(jnp.arange(kmax, dtype=jnp.int32), mode="drop")
-    )
+    # id_prev[target] = max idx with id_next[idx] == target (later idx wins,
+    # matching the sequential overwrite in joinEdges, edge_detector.cpp:133).
+    # Formulated as the inverse probe: a claimant of keyline j can only sit
+    # in j's 8-neighborhood, so gather the neighbors' ids and their id_next
+    # instead of scatter-maxing (TPU scatters are ~30x costlier than
+    # gathers at this size).
+    me = jnp.arange(kmax, dtype=jnp.int32)
+    id_prev = jnp.full((kmax,), -1, jnp.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = probe(jnp.full_like(x, dy), jnp.full_like(x, dx))
+            nb_safe = jnp.clip(nb, 0, kmax - 1)
+            claims = (nb >= 0) & (id_next[nb_safe] == me) & valid
+            id_prev = jnp.where(claims, jnp.maximum(id_prev, nb), id_prev)
     return id_next, id_prev
 
 

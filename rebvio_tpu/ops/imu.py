@@ -47,15 +47,16 @@ def integrate_imu(
     gyro_mean = jnp.sum(jnp.where(valid[:, None], gyro_c, 0.0), axis=0) / nf
     acc_mean = jnp.sum(jnp.where(valid[:, None], acc_c, 0.0), axis=0) / nf
 
-    def body(R, inp):
-        g, dt, v = inp
-        dR = so3.exp(g * dt)
-        R_new = R @ dR
-        return jnp.where(v, R_new, R), None
-
-    R, _ = jax.lax.scan(
-        body, jnp.eye(3, dtype=jnp.float32), (gyro_c, data.dt, valid)
+    # Ordered product of per-sample exponentials via log-depth associative
+    # scan (5 levels of batched 3x3 matmuls instead of a 32-step sequential
+    # scan); invalid samples contribute identity.
+    dRs = so3.exp(gyro_c * data.dt[:, None])  # [S,3,3] batched Rodrigues
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), dRs.shape)
+    dRs = jnp.where(valid[:, None, None], dRs, eye)
+    prods = jax.lax.associative_scan(
+        lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), dRs
     )
+    R = prods[-1]
 
     dt_s = data.dt_interval
     # dgyro = R_c2i^T (gyro_last - gyro_init) / dt_s  (imu.hpp:85), only n>1

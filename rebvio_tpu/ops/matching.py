@@ -84,14 +84,20 @@ def forward_match(old: T.EdgeMap, new: T.EdgeMap) -> Tuple[T.EdgeMap, jnp.ndarra
     )
     matched = win >= 0
     w = jnp.clip(win, 0, kmax - 1)
+    # one packed slice-gather for the float fields of the winners
+    pack = jnp.concatenate(
+        [old.rho[:, None], old.sigma_rho[:, None], old.pos_img, old.grad,
+         old.grad_norm[:, None], jnp.zeros((kmax, 1), jnp.float32)], axis=-1,
+    )
+    row = pack[w]
     new = new.replace(
-        rho=jnp.where(matched, old.rho[w], new.rho),
-        sigma_rho=jnp.where(matched, old.sigma_rho[w], new.sigma_rho),
+        rho=jnp.where(matched, row[:, 0], new.rho),
+        sigma_rho=jnp.where(matched, row[:, 1], new.sigma_rho),
         matches=jnp.where(matched, old.matches[w] + 1, new.matches),
         match_id=jnp.where(matched, win, new.match_id),
-        match_pos_img=jnp.where(matched[:, None], old.pos_img[w], new.match_pos_img),
-        match_grad=jnp.where(matched[:, None], old.grad[w], new.match_grad),
-        match_grad_norm=jnp.where(matched, old.grad_norm[w], new.match_grad_norm),
+        match_pos_img=jnp.where(matched[:, None], row[:, 2:4], new.match_pos_img),
+        match_grad=jnp.where(matched[:, None], row[:, 4:6], new.match_grad),
+        match_grad_norm=jnp.where(matched, row[:, 6], new.match_grad_norm),
         match_id_keyframe=jnp.where(matched, old.match_id_keyframe[w], new.match_id_keyframe),
     )
     return new, jnp.sum(matched).astype(jnp.int32)
