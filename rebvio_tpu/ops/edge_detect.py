@@ -214,7 +214,9 @@ def _tune_threshold(grad_norm, valid, count, cfg: EdgeDetectorConfig) -> jnp.nda
     rng = jnp.where(max_dog > min_dog, max_dog - min_dog, 1.0)
     bins = (nb * (max_dog - grad_norm) / rng).astype(jnp.int32)
     bins = jnp.clip(bins, 0, nb - 1)
-    hist = jnp.zeros((nb,), jnp.int32).at[jnp.where(valid, bins, nb)].add(1, mode="drop")
+    # histogram via one-hot reduction (TPU scatter-add of 16k ints costs ~3ms)
+    onehot = (bins[:, None] == jnp.arange(nb)[None, :]) & valid[:, None]
+    hist = jnp.sum(onehot.astype(jnp.int32), axis=0)
     # cumulative over bins 1..i (bin 0 skipped by the reference's quirk)
     csum = jnp.cumsum(hist.at[0].set(0))
     reached = csum >= cfg.keylines_max

@@ -49,7 +49,9 @@ def estimate_quantile(em: T.EdgeMap, percentile: float, num_bins: int) -> jnp.nd
     span = T.RHO_MAX - T.RHO_MIN
     b = (num_bins * (em.sigma_rho - T.RHO_MIN) / span).astype(jnp.int32)
     b = jnp.clip(b, 0, num_bins - 1)
-    hist = jnp.zeros((num_bins,), jnp.int32).at[jnp.where(em.valid, b, num_bins)].add(1, mode="drop")
+    # histogram via one-hot reduction (TPU scatter-add of 16k ints costs ~3ms)
+    onehot = (b[:, None] == jnp.arange(num_bins)[None, :]) & em.valid[:, None]
+    hist = jnp.sum(onehot.astype(jnp.int32), axis=0)
     csum = jnp.cumsum(hist)
     prefix = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum[:-1]])
     cut = percentile * em.count.astype(jnp.float32)
@@ -84,21 +86,25 @@ def forward_match(old: T.EdgeMap, new: T.EdgeMap) -> Tuple[T.EdgeMap, jnp.ndarra
     )
     matched = win >= 0
     w = jnp.clip(win, 0, kmax - 1)
-    # one packed slice-gather for the float fields of the winners
+    # One packed slice-gather for the winners' fields.  The int fields ride
+    # along as exact float32 (TPU int32 gathers lower to a 64-bit slow path
+    # ~20x costlier than float gathers; counters and ids are < 2^24).
     pack = jnp.concatenate(
         [old.rho[:, None], old.sigma_rho[:, None], old.pos_img, old.grad,
-         old.grad_norm[:, None], jnp.zeros((kmax, 1), jnp.float32)], axis=-1,
+         old.grad_norm[:, None], old.matches.astype(jnp.float32)[:, None],
+         old.match_id_keyframe.astype(jnp.float32)[:, None],
+         jnp.zeros((kmax, 1), jnp.float32)], axis=-1,
     )
     row = pack[w]
     new = new.replace(
         rho=jnp.where(matched, row[:, 0], new.rho),
         sigma_rho=jnp.where(matched, row[:, 1], new.sigma_rho),
-        matches=jnp.where(matched, old.matches[w] + 1, new.matches),
+        matches=jnp.where(matched, row[:, 7].astype(jnp.int32) + 1, new.matches),
         match_id=jnp.where(matched, win, new.match_id),
         match_pos_img=jnp.where(matched[:, None], row[:, 2:4], new.match_pos_img),
         match_grad=jnp.where(matched[:, None], row[:, 4:6], new.match_grad),
         match_grad_norm=jnp.where(matched, row[:, 6], new.match_grad_norm),
-        match_id_keyframe=jnp.where(matched, old.match_id_keyframe[w], new.match_id_keyframe),
+        match_id_keyframe=jnp.where(matched, row[:, 8].astype(jnp.int32), new.match_id_keyframe),
     )
     return new, jnp.sum(matched).astype(jnp.int32)
 

@@ -45,9 +45,8 @@ def _quantile_sharded(em: T.EdgeMap, percentile: float, num_bins: int, axis: str
     span = T.RHO_MAX - T.RHO_MIN
     b = (num_bins * (em.sigma_rho - T.RHO_MIN) / span).astype(jnp.int32)
     b = jnp.clip(b, 0, num_bins - 1)
-    hist = jnp.zeros((num_bins,), jnp.int32).at[jnp.where(em.valid, b, num_bins)].add(
-        1, mode="drop"
-    )
+    onehot = (b[:, None] == jnp.arange(num_bins)[None, :]) & em.valid[:, None]
+    hist = jnp.sum(onehot.astype(jnp.int32), axis=0)
     hist = jax.lax.psum(hist, axis)
     count = jax.lax.psum(jnp.sum(em.valid.astype(jnp.int32)), axis)
     csum = jnp.cumsum(hist)
