@@ -99,9 +99,15 @@ def detect(
     )
 
     # --- raster-order compaction with keylines_max cutoff ---
-    flat_idx = jnp.nonzero(cand.reshape(-1), size=kmax, fill_value=-1)[0].astype(jnp.int32)
-    valid = flat_idx >= 0
-    count = jnp.minimum(jnp.sum(cand), kmax).astype(jnp.int32)
+    # slot s takes the (s+1)-th candidate in raster order, located by binary
+    # search over the cumulative candidate count (jnp.nonzero's internal
+    # scatter costs ~3 ms on TPU; cumsum+searchsorted is ~4x cheaper)
+    csum = jnp.cumsum(cand.reshape(-1).astype(jnp.int32))
+    total = csum[-1]
+    count = jnp.minimum(total, kmax).astype(jnp.int32)
+    slots = jnp.arange(1, kmax + 1, dtype=jnp.int32)
+    flat_idx = jnp.searchsorted(csum, slots, side="left").astype(jnp.int32)
+    valid = slots <= total
     safe_idx = jnp.where(valid, flat_idx, 0)
     prow = (safe_idx // W).astype(jnp.float32)
     pcol = (safe_idx % W).astype(jnp.float32)
@@ -155,10 +161,12 @@ def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:
     tx = -grad[:, 1]
     ty = grad[:, 0]
 
+    kl_f = kl_id_img.astype(jnp.float32)  # f32 gathers: fast path
+
     def probe(dy, dx):
         yy = jnp.clip(y + dy, 0, H - 1)
         xx = jnp.clip(x + dx, 0, W - 1)
-        return kl_id_img[yy, xx]
+        return kl_f[yy, xx].astype(jnp.int32)
 
     z = jnp.zeros_like(x)
     one = jnp.ones_like(x)
@@ -183,7 +191,9 @@ def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # in j's 8-neighborhood, so gather the neighbors' ids and their id_next
     # instead of scatter-maxing (TPU scatters are ~30x costlier than
     # gathers at this size).
-    me = jnp.arange(kmax, dtype=jnp.int32)
+    # ids gathered as exact f32 (int32 gathers hit a slow path; ids < 2^24)
+    id_next_f = id_next.astype(jnp.float32)
+    me_f = jnp.arange(kmax, dtype=jnp.float32)
     id_prev = jnp.full((kmax,), -1, jnp.int32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
@@ -191,7 +201,7 @@ def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:
                 continue
             nb = probe(jnp.full_like(x, dy), jnp.full_like(x, dx))
             nb_safe = jnp.clip(nb, 0, kmax - 1)
-            claims = (nb >= 0) & (id_next[nb_safe] == me) & valid
+            claims = (nb >= 0) & (id_next_f[nb_safe] == me_f) & valid
             id_prev = jnp.where(claims, jnp.maximum(id_prev, nb), id_prev)
     return id_next, id_prev
 

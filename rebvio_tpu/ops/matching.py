@@ -359,7 +359,8 @@ def directed_match_tube(
     col = jnp.clip(jnp.floor(px_pix + 0.5).astype(jnp.int32), 0, W - 1)
     row = jnp.clip(jnp.floor(py_pix + 0.5).astype(jnp.int32), 0, H - 1)
     inb = (px_pix >= -0.5) & (px_pix < W - 0.5) & (py_pix >= -0.5) & (py_pix < H - 0.5)
-    oid = jnp.where(inb, old.nn_id_img[row * W + col], -1)
+    nn_f = old.nn_id_img.astype(jnp.float32)  # f32 gathers: fast path
+    oid = jnp.where(inb, nn_f[row * W + col].astype(jnp.int32), -1)
     has = oid >= 0
     os = jnp.clip(oid, 0, kmax - 1)
 

@@ -54,6 +54,7 @@ def try_vel(
     cfg: CoreConfig,
     cam: CameraConfig,
     new_pack: jnp.ndarray = None,
+    field_f: jnp.ndarray = None,
 ) -> TryVelOut:
     """One residual/Jacobian pass of the translation tracker (core.cpp:78-148).
 
@@ -67,6 +68,8 @@ def try_vel(
     R = cfg.search_range
     if new_pack is None:
         new_pack = pack_target_fields(new)
+    if field_f is None:
+        field_f = field_ids.astype(jnp.float32)
 
     # Participation gate (core.cpp:88-91); min_match_threshold is 0 in the
     # reference config so the matches-count clause never fires.
@@ -91,7 +94,10 @@ def try_vel(
     lookup_ok = use & front & inb
     xs = jnp.clip(x, 0, W - 1)
     ys = jnp.clip(y, 0, H - 1)
-    fid = jnp.where(lookup_ok, field_ids[ys * W + xs], -1)
+    # field ids gathered as exact f32 (int32 gathers hit a slow path)
+    fid = jnp.where(
+        lookup_ok, field_f[ys * W + xs].astype(jnp.int32), -1
+    )
     has_df = fid >= 0
     # clip against the TARGET map's size (differs from old.kmax when the old
     # map's keyline axis is sharded across devices, parallel/keyline_shard.py)
@@ -164,8 +170,9 @@ def minimize_vel(
     sigma_rho_min = estimate_quantile(old, cfg.quantile_cutoff, cfg.quantile_num_bins)
     residuals = jnp.zeros((old.kmax,), jnp.float32)
     new_pack = pack_target_fields(new)
+    field_f = field_ids.astype(jnp.float32)
 
-    out = try_vel(old, new, field_ids, vel0, sigma_rho_min, residuals, cfg, cam, new_pack)
+    out = try_vel(old, new, field_ids, vel0, sigma_rho_min, residuals, cfg, cam, new_pack, field_f)
     F, JtJ, JtF, residuals, mif = out
     vel = vel0
     u = 1e-3 * jnp.max(JtJ)
@@ -176,7 +183,7 @@ def minimize_vel(
         ApI = JtJ + jnp.eye(3, dtype=jnp.float32) * u
         h = linalg.invert3(ApI) @ (-JtF)
         vel_new = vel + h
-        o2 = try_vel(old, new, field_ids, vel_new, sigma_rho_min, residuals, cfg, cam, new_pack)
+        o2 = try_vel(old, new, field_ids, vel_new, sigma_rho_min, residuals, cfg, cam, new_pack, field_f)
         residuals, mif = o2.residuals, o2.match_id_forward
         gain = (F - o2.score) / (0.5 * jnp.dot(h, u * h - JtF))
         accept = gain > 0.0
