@@ -102,10 +102,10 @@ def detect(
     # slot s takes the (s+1)-th candidate in raster order, located by binary
     # search over the cumulative candidate count (jnp.nonzero's internal
     # scatter costs ~3 ms on TPU; cumsum+searchsorted is ~4x cheaper)
-    csum = jnp.cumsum(cand.reshape(-1).astype(jnp.int32))
+    csum = jnp.cumsum(cand.reshape(-1).astype(jnp.float32))  # exact < 2^24
     total = csum[-1]
     count = jnp.minimum(total, kmax).astype(jnp.int32)
-    slots = jnp.arange(1, kmax + 1, dtype=jnp.int32)
+    slots = jnp.arange(1, kmax + 1, dtype=jnp.float32)
     flat_idx = jnp.searchsorted(csum, slots, side="left").astype(jnp.int32)
     valid = slots <= total
     safe_idx = jnp.where(valid, flat_idx, 0)

@@ -292,7 +292,7 @@ def directed_match_tube(
     cfg: EdgeMapConfig,
     core_cfg: CoreConfig,
     cam: CameraConfig,
-    n_probes: int = 16,
+    n_probes: int = 8,
 ) -> Tuple[T.EdgeMap, jnp.ndarray]:
     """Epipolar matching via the dense nearest-keyline field (TPU-first
     redesign of searchMatch's pixel walk, edge_map.cpp:101-184).
