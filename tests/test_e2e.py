@@ -81,3 +81,18 @@ def test_elastic_recovery_resumes_tracking():
     assert not res.run_ok[6]       # failure observed during the gap
     assert res.run_ok[-1]          # ...but tracking resumed
     assert res.num_matches[-1] > 500
+
+
+def test_reference_parity_mode_walk_raster():
+    """The reference-semantics path (raster distance field + pixel-walk
+    matcher) also tracks end to end."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_small_cfg(use_imu=False), df_mode="raster", matcher="walk")
+    seq = synthetic.generate(cfg.camera, n_frames=24, seed=0)
+    r = VioRunner(cfg, undistort=False)
+    res = r.run(seq)
+    assert res.run_ok.all()
+    span = np.linalg.norm(seq.gt_pos[-1] - seq.gt_pos[0])
+    ate = ev.ate_rmse(res.position, seq.gt_pos, align=True, with_scale=True)
+    assert ate < 0.08 * span, (ate, span)
