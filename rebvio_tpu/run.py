@@ -46,6 +46,12 @@ def main(argv=None):
     ap.add_argument("--kf-every", type=int, default=5)
     ap.add_argument("--platform", choices=["default", "cpu"], default="default",
                     help="force the JAX backend (cpu for quick local runs)")
+    ap.add_argument("--matcher", choices=["tube", "walk"], default="tube",
+                    help="epipolar matcher: TPU-first tube probe or the "
+                         "reference's pixel walk")
+    ap.add_argument("--df-mode", choices=["jfa", "raster"], default=None,
+                    help="auxiliary field: jump-flood NN (default) or the "
+                         "reference's rasterized scatter")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -73,8 +79,10 @@ def main(argv=None):
         core = CoreConfig(search_range=10, global_min_matches_threshold=100)
     else:
         cam, det, core = CameraConfig(), EdgeDetectorConfig(), CoreConfig()
+    df_mode = args.df_mode or ("jfa" if args.matcher == "tube" else "raster")
     config = PipelineConfig(camera=cam, detector=det, core=core,
-                            use_imu=(args.mode == "vio"))
+                            use_imu=(args.mode == "vio"),
+                            matcher=args.matcher, df_mode=df_mode)
 
     if args.dataset == "synthetic":
         from rebvio_tpu.data import synthetic
