@@ -99,14 +99,19 @@ def detect(
     )
 
     # --- raster-order compaction with keylines_max cutoff ---
-    # slot s takes the (s+1)-th candidate in raster order, located by binary
-    # search over the cumulative candidate count (jnp.nonzero's internal
-    # scatter costs ~3 ms on TPU; cumsum+searchsorted is ~4x cheaper)
-    csum = jnp.cumsum(cand.reshape(-1).astype(jnp.float32))  # exact < 2^24
-    total = csum[-1]
+    # slot s takes the (s+1)-th candidate in raster order via top_k over the
+    # negated flat index (exact in f32: H*W < 2^24).  top_k returns the kmax
+    # largest values in descending order = the first kmax candidates in
+    # raster order.  ~5x cheaper than cumsum+searchsorted (whose binary
+    # search lowers to ~19 serial scalar gathers) and ~7x cheaper than
+    # jnp.nonzero's internal scatter.
+    cand_flat = cand.reshape(-1)
+    total = jnp.sum(cand_flat.astype(jnp.float32))
     count = jnp.minimum(total, kmax).astype(jnp.int32)
+    neg_big = jnp.float32(-3.4e38)
+    keys = jnp.where(cand_flat, -jnp.arange(H * W, dtype=jnp.float32), neg_big)
+    _, flat_idx = jax.lax.top_k(keys, kmax)
     slots = jnp.arange(1, kmax + 1, dtype=jnp.float32)
-    flat_idx = jnp.searchsorted(csum, slots, side="left").astype(jnp.int32)
     valid = slots <= total
     safe_idx = jnp.where(valid, flat_idx, 0)
     prow = (safe_idx // W).astype(jnp.float32)
@@ -161,48 +166,44 @@ def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:
     tx = -grad[:, 1]
     ty = grad[:, 0]
 
-    kl_f = kl_id_img.astype(jnp.float32)  # f32 gathers: fast path
+    # All 8 neighbor ids in ONE packed row-gather: stack the 8 shifted copies
+    # of the id image channel-wise (cheap dense slices), then gather one
+    # [kmax, 8] row block per keyline.  Replaces 11 scalar gathers (~2.5 ms
+    # on TPU) with 1 (~0.2 ms).  ids ride as exact f32 (< 2^24); the -1 pad
+    # reproduces "no keyline" outside the frame (detections are >= pfs >= 1
+    # pixels interior, so clipped probes never differed from padded ones).
+    kl_f = kl_id_img.astype(jnp.float32)
+    pad = jnp.pad(kl_f, 1, constant_values=-1.0)
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    nb_img = jnp.stack(
+        [pad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W] for dy, dx in offs], axis=-1
+    ).reshape(H * W, 8)
+    yy = jnp.clip(y, 0, H - 1)
+    xx = jnp.clip(x, 0, W - 1)
+    row = nb_img[yy * W + xx]  # [kmax, 8]
 
-    def probe(dy, dx):
-        yy = jnp.clip(y + dy, 0, H - 1)
-        xx = jnp.clip(x + dx, 0, W - 1)
-        return kl_f[yy, xx].astype(jnp.int32)
-
-    z = jnp.zeros_like(x)
-    one = jnp.ones_like(x)
     # Neighbor offsets per quadrant of the tangent direction.
-    sx = jnp.where(tx > 0, one, -one)
-    sy = jnp.where(ty > 0, one, -one)
     # ty>0: probes (0,sx), (1,0), (1,sx); ty<=0: (0,sx'), (-1,0), (-1,sx')
     # where for ty<=0 the x sign logic flips: tx<0 -> -1 else +1.
-    sx_neg = jnp.where(tx < 0, -one, one)
+    sx = jnp.where(tx > 0, 1.0, -1.0)
+    sx_neg = jnp.where(tx < 0, -1.0, 1.0)
     px = jnp.where(ty > 0, sx, sx_neg)
-    py = jnp.where(ty > 0, one, -one)
-
-    c1 = probe(z, px)        # (y, x+px)
-    c2 = probe(py, z)        # (y+py, x)
-    c3 = probe(py, px)       # (y+py, x+px)
-    id_next = jnp.where(c1 >= 0, c1, jnp.where(c2 >= 0, c2, c3))
-    id_next = jnp.where(valid, id_next, -1)
+    py = jnp.where(ty > 0, 1.0, -1.0)
+    c1 = jnp.where(px > 0, row[:, 4], row[:, 3])          # (0, px)
+    c2 = jnp.where(py > 0, row[:, 6], row[:, 1])          # (py, 0)
+    c3 = jnp.where(py > 0,
+                   jnp.where(px > 0, row[:, 7], row[:, 5]),
+                   jnp.where(px > 0, row[:, 2], row[:, 0]))  # (py, px)
+    id_next_f = jnp.where(c1 >= 0, c1, jnp.where(c2 >= 0, c2, c3))
+    id_next = jnp.where(valid, id_next_f.astype(jnp.int32), -1)
 
     # id_prev[target] = max idx with id_next[idx] == target (later idx wins,
-    # matching the sequential overwrite in joinEdges, edge_detector.cpp:133).
-    # Formulated as the inverse probe: a claimant of keyline j can only sit
-    # in j's 8-neighborhood, so gather the neighbors' ids and their id_next
-    # instead of scatter-maxing (TPU scatters are ~30x costlier than
-    # gathers at this size).
-    # ids gathered as exact f32 (int32 gathers hit a slow path; ids < 2^24)
-    id_next_f = id_next.astype(jnp.float32)
-    me_f = jnp.arange(kmax, dtype=jnp.float32)
-    id_prev = jnp.full((kmax,), -1, jnp.int32)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            nb = probe(jnp.full_like(x, dy), jnp.full_like(x, dx))
-            nb_safe = jnp.clip(nb, 0, kmax - 1)
-            claims = (nb >= 0) & (id_next_f[nb_safe] == me_f) & valid
-            id_prev = jnp.where(claims, jnp.maximum(id_prev, nb), id_prev)
+    # matching the sequential overwrite in joinEdges, edge_detector.cpp:133)
+    # — the direct inverse as one scatter-max.
+    tgt = jnp.where(valid & (id_next >= 0), id_next, kmax)
+    id_prev = jnp.full((kmax,), -1, jnp.int32).at[tgt].max(
+        jnp.arange(kmax, dtype=jnp.int32), mode="drop"
+    )
     return id_next, id_prev
 
 

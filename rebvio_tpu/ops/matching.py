@@ -364,10 +364,14 @@ def directed_match_tube(
     has = oid >= 0
     os = jnp.clip(oid, 0, kmax - 1)
 
-    # one packed [K,P,8] slice-gather of all old-keyline fields
+    # one packed [K,P,10] slice-gather of all old-keyline fields.  pos is the
+    # detection-time pixel position (the JFA field lives in detection pixel
+    # space); pos_img is the *current* (rotated) centered position the match
+    # fields must carry (rotate_keylines updates pos_img, not pos).
     old_pack = jnp.concatenate(
         [old.pos, old.grad, old.grad_norm[:, None], old.rho[:, None],
-         old.sigma_rho[:, None], jnp.zeros((kmax, 1), jnp.float32)], axis=-1,
+         old.sigma_rho[:, None], old.pos_img,
+         jnp.zeros((kmax, 1), jnp.float32)], axis=-1,
     )
     rowp = old_pack[os]
     seed = rowp[..., 0:2]                     # (x, y) pixel coords
@@ -397,16 +401,30 @@ def directed_match_tube(
     found = jnp.take_along_axis(ok, best[:, None], axis=1)[:, 0]
     match = jnp.where(found, jnp.take_along_axis(oid, best[:, None], axis=1)[:, 0], -1)
 
+    # Winner fields come from the already-gathered probe rows (rowp) instead
+    # of 7 fresh scalar gathers.  Only the two int counters need one extra
+    # (packed) gather.
+    row_best = jnp.take_along_axis(rowp, best[:, None, None], axis=1)[:, 0, :]  # [K,10]
+    w_pos_img = row_best[:, 7:9]
+    w_grad = row_best[:, 2:4]
+    w_grad_norm = row_best[:, 4]
+    w_rho = row_best[:, 5]
+    w_sigma_rho = row_best[:, 6]
     ms = jnp.clip(match, 0, kmax - 1)
+    cnt_pack = jnp.stack(
+        [old.matches.astype(jnp.float32), old.match_id_keyframe.astype(jnp.float32)],
+        axis=-1,
+    )
+    cnt = cnt_pack[ms]
     new = new.replace(
-        rho=jnp.where(found, old.rho[ms], new.rho),
-        sigma_rho=jnp.where(found, old.sigma_rho[ms], new.sigma_rho),
+        rho=jnp.where(found, w_rho, new.rho),
+        sigma_rho=jnp.where(found, w_sigma_rho, new.sigma_rho),
         match_id=jnp.where(found, match, new.match_id),
-        matches=jnp.where(found, old.matches[ms] + 1, new.matches),
-        match_pos_img=jnp.where(found[:, None], old.pos_img[ms], new.match_pos_img),
-        match_grad=jnp.where(found[:, None], old.grad[ms], new.match_grad),
-        match_grad_norm=jnp.where(found, old.grad_norm[ms], new.match_grad_norm),
-        match_id_keyframe=jnp.where(found, old.match_id_keyframe[ms], new.match_id_keyframe),
+        matches=jnp.where(found, cnt[:, 0].astype(jnp.int32) + 1, new.matches),
+        match_pos_img=jnp.where(found[:, None], w_pos_img, new.match_pos_img),
+        match_grad=jnp.where(found[:, None], w_grad, new.match_grad),
+        match_grad_norm=jnp.where(found, w_grad_norm, new.match_grad_norm),
+        match_id_keyframe=jnp.where(found, cnt[:, 1].astype(jnp.int32), new.match_id_keyframe),
     )
     return new, jnp.sum(found).astype(jnp.int32)
 
@@ -421,11 +439,19 @@ def regularize_1iter(em: T.EdgeMap, threshold: float) -> T.EdgeMap:
     has_nb = em.valid & (em.id_next >= 0) & (em.id_prev >= 0)
     nx = jnp.clip(em.id_next, 0, kmax - 1)
     pv = jnp.clip(em.id_prev, 0, kmax - 1)
-    rn, rp = em.rho[nx], em.rho[pv]
-    sn, sp = em.sigma_rho[nx], em.sigma_rho[pv]
+    # One packed slice-gather per neighbor (8 scalar gathers -> 2 row
+    # gathers; scalar int-indexed gathers are the hot path here).
+    pack = jnp.concatenate(
+        [em.rho[:, None], em.sigma_rho[:, None], em.grad,
+         em.grad_norm[:, None], jnp.zeros((kmax, 3), jnp.float32)], axis=-1,
+    )
+    row_n = pack[nx]
+    row_p = pack[pv]
+    rn, rp = row_n[:, 0], row_p[:, 0]
+    sn, sp = row_n[:, 1], row_p[:, 1]
     test1 = (rn - rp) ** 2 <= (sn * sn + sp * sp)
-    gn_, gp_ = em.grad[nx], em.grad[pv]
-    gnn, gnp_ = em.grad_norm[nx], em.grad_norm[pv]
+    gn_, gp_ = row_n[:, 2:4], row_p[:, 2:4]
+    gnn, gnp_ = row_n[:, 4], row_p[:, 4]
     denom = jnp.where(gnn * gnp_ > 0, gnn * gnp_, 1.0)
     alpha = (gn_[:, 0] * gp_[:, 0] + gn_[:, 1] * gp_[:, 1]) / denom
     test2 = alpha >= threshold
