@@ -97,6 +97,11 @@ class EdgeMapConfig:
     match_threshold_norm: float = 1.0
     match_threshold_angle: float = 45.0   # [deg]
     regularization_threshold: float = 0.5
+    # tube matcher (TPU redesign of searchMatch) probes per keyline; no
+    # reference counterpart.  Gather volume (the matcher's cost) scales
+    # linearly with this.  6 loses <1% of matches vs 8 (synthetic VO/VIO,
+    # identical scale recovery) at 25% less gather volume.
+    tube_probes: int = 6
 
     @property
     def cang_min_edge(self) -> float:

@@ -116,7 +116,10 @@ def build_nn_field(
 
     steps = []
     s = 1
-    while s < search_range:
+    # start at the smallest power of two >= search_range/2: the radius gate
+    # discards seeds beyond search_range, and steps [s, s/2, .., 1] reach any
+    # offset <= 2s-1 >= search_range, so the larger start only added passes
+    while 2 * s < search_range:
         s *= 2
     while s >= 1:
         steps.append(s)

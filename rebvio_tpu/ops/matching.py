@@ -292,7 +292,7 @@ def directed_match_tube(
     cfg: EdgeMapConfig,
     core_cfg: CoreConfig,
     cam: CameraConfig,
-    n_probes: int = 8,
+    n_probes: int = 0,
 ) -> Tuple[T.EdgeMap, jnp.ndarray]:
     """Epipolar matching via the dense nearest-keyline field (TPU-first
     redesign of searchMatch's pixel walk, edge_map.cpp:101-184).
@@ -314,6 +314,8 @@ def directed_match_tube(
     max_radius = core_cfg.search_range
     pum = cfg.pixel_uncertainty_match
     cang_min = math.cos(cfg.match_threshold_angle * math.pi / 180.0)
+    if not n_probes:
+        n_probes = cfg.tube_probes
 
     vel_b = Rback @ vel
     Rvel_b = Rback @ Rvel @ Rback.T
@@ -364,13 +366,17 @@ def directed_match_tube(
     has = oid >= 0
     os = jnp.clip(oid, 0, kmax - 1)
 
-    # one packed [K,P,10] slice-gather of all old-keyline fields.  pos is the
+    # one packed [K,P,12] slice-gather of all old-keyline fields.  pos is the
     # detection-time pixel position (the JFA field lives in detection pixel
     # space); pos_img is the *current* (rotated) centered position the match
-    # fields must carry (rotate_keylines updates pos_img, not pos).
+    # fields must carry (rotate_keylines updates pos_img, not pos).  The int
+    # counters ride as exact f32 (< 2^24) — extra lanes are far cheaper than
+    # an extra gather.
     old_pack = jnp.concatenate(
         [old.pos, old.grad, old.grad_norm[:, None], old.rho[:, None],
          old.sigma_rho[:, None], old.pos_img,
+         old.matches.astype(jnp.float32)[:, None],
+         old.match_id_keyframe.astype(jnp.float32)[:, None],
          jnp.zeros((kmax, 1), jnp.float32)], axis=-1,
     )
     rowp = old_pack[os]
@@ -401,30 +407,23 @@ def directed_match_tube(
     found = jnp.take_along_axis(ok, best[:, None], axis=1)[:, 0]
     match = jnp.where(found, jnp.take_along_axis(oid, best[:, None], axis=1)[:, 0], -1)
 
-    # Winner fields come from the already-gathered probe rows (rowp) instead
-    # of 7 fresh scalar gathers.  Only the two int counters need one extra
-    # (packed) gather.
-    row_best = jnp.take_along_axis(rowp, best[:, None, None], axis=1)[:, 0, :]  # [K,10]
+    # Winner fields come from the already-gathered probe rows (rowp) —
+    # zero fresh gathers.
+    row_best = jnp.take_along_axis(rowp, best[:, None, None], axis=1)[:, 0, :]  # [K,12]
     w_pos_img = row_best[:, 7:9]
     w_grad = row_best[:, 2:4]
     w_grad_norm = row_best[:, 4]
     w_rho = row_best[:, 5]
     w_sigma_rho = row_best[:, 6]
-    ms = jnp.clip(match, 0, kmax - 1)
-    cnt_pack = jnp.stack(
-        [old.matches.astype(jnp.float32), old.match_id_keyframe.astype(jnp.float32)],
-        axis=-1,
-    )
-    cnt = cnt_pack[ms]
     new = new.replace(
         rho=jnp.where(found, w_rho, new.rho),
         sigma_rho=jnp.where(found, w_sigma_rho, new.sigma_rho),
         match_id=jnp.where(found, match, new.match_id),
-        matches=jnp.where(found, cnt[:, 0].astype(jnp.int32) + 1, new.matches),
+        matches=jnp.where(found, row_best[:, 9].astype(jnp.int32) + 1, new.matches),
         match_pos_img=jnp.where(found[:, None], w_pos_img, new.match_pos_img),
         match_grad=jnp.where(found[:, None], w_grad, new.match_grad),
         match_grad_norm=jnp.where(found, w_grad_norm, new.match_grad_norm),
-        match_id_keyframe=jnp.where(found, cnt[:, 1].astype(jnp.int32), new.match_id_keyframe),
+        match_id_keyframe=jnp.where(found, row_best[:, 10].astype(jnp.int32), new.match_id_keyframe),
     )
     return new, jnp.sum(found).astype(jnp.int32)
 

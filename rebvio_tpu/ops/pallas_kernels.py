@@ -22,7 +22,7 @@ from rebvio_tpu import types as T
 def _jfa_schedule(search_range: int):
     steps = []
     s = 1
-    while s < search_range:
+    while 2 * s < search_range:  # see distance_field.build_nn_field
         s *= 2
     while s >= 1:
         steps.append(s)

@@ -86,7 +86,8 @@ class FrontendMatrices(NamedTuple):
     """Device-resident banded operators for one (rows, cols) geometry."""
 
     LL: jnp.ndarray   # [2H,H] stacked scale-0/scale-1 left cascades
-    R01: jnp.ndarray  # [2W,2W] blockdiag(R0, R1) right cascades
+    R0: jnp.ndarray   # [W,W] scale-0 right cascade
+    R1: jnp.ndarray   # [W,W] scale-1 right cascade
     S5H: jnp.ndarray  # [H,H] 5x5 window row-sum
     S5W: jnp.ndarray  # [W,W] 5x5 window col-sum
     XW: jnp.ndarray   # [W,W] x-ramp band
@@ -106,14 +107,12 @@ class ScaleSpaceParams:
         self.widths1, self.sigma1_true = box_widths(self.sigma0_true * self.SCALE_FACTOR, 3)
         H, W = rows, cols
         d5 = 2 * plane_fit_size + 1
-        R01 = np.zeros((2 * W, 2 * W))
-        R01[:W, :W] = _cascade_ops(W, self.widths0).T
-        R01[W:, W:] = _cascade_ops(W, self.widths1).T
         self._np_mats = dict(
             LL=np.concatenate(
                 [_cascade_ops(H, self.widths0), _cascade_ops(H, self.widths1)], axis=0
             ),
-            R01=R01,
+            R0=_cascade_ops(W, self.widths0).T,
+            R1=_cascade_ops(W, self.widths1).T,
             S5H=_banded_ones(H, d5),
             S5W=_banded_ones(W, d5),
             XW=_offset_band(W, d5).T,   # right-multiply: (img @ XW)[r,i] = sum_j img[r,j](j-i)
@@ -133,16 +132,15 @@ def build_scale_space(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (scale0, dog, mag) for a float image (scale_space.cpp:203-233).
 
-    Both scales run as one fused matmul pair: [L0;L1] @ img stacked, then one
-    right-multiply against blockdiag(R0, R1) — per-matmul dispatch overhead
-    dominates at these sizes, so fewer/bigger contractions win.
+    Both scales share one stacked left multiply [L0;L1] @ img; the right
+    cascades stay separate (a blockdiag fusion would double the MACs with
+    zero blocks — inside one jitted graph there is no per-matmul dispatch
+    cost to amortize).
     """
     H, W = img.shape
     left = mats.LL @ img                                      # [2H,W]
-    lr = jnp.concatenate([left[:H], left[H:]], axis=1)        # [H,2W]
-    both = lr @ mats.R01                                      # [H,2W]
-    s0 = both[:, :W]
-    s1 = both[:, W:]
+    s0 = left[:H] @ mats.R0
+    s1 = left[H:] @ mats.R1
     dog = s1 - s0
     # central differences as shifted slices (VPU, no matmul)
     dx = jnp.zeros_like(s0).at[:, 1:-1].set(s0[:, 2:] - s0[:, :-2])

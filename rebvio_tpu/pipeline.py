@@ -278,6 +278,36 @@ def estimate(
 
 
 @partial(jax.jit, static_argnames=("config",))
+def step_chunk(
+    state: T.VioState,
+    frames: jnp.ndarray,           # [N,H,W]
+    imu_data: T.ImuFrameData,      # leaves [N,...]
+    frame_dt: jnp.ndarray,         # [N]
+    config: PipelineConfig,
+    mats: FrontendMatrices = None,
+) -> Tuple[T.VioState, T.Odometry]:
+    """Process N frames in one dispatch via lax.scan (dataset/offline mode).
+
+    Semantically identical to N calls of ``step`` (the recurrence is strictly
+    frame-sequential, rebvio.cpp:122-131), but amortizes the per-dispatch and
+    state-output overhead over the chunk — the replacement for the
+    reference's 2-thread streaming pipeline when the input is a prerecorded
+    sequence.  (State donation is not usable here: the freshly initialized
+    state aliases identical zero-filled buffers across leaves, which XLA
+    rejects as a double donation.)
+    """
+    if mats is None:
+        mats = frontend_matrices(config)
+
+    def body(st, inp):
+        fr, im, dt = inp
+        st2, odo = step(st, fr, im, dt, config, mats)
+        return st2, odo
+
+    return jax.lax.scan(body, state, (frames, imu_data, frame_dt))
+
+
+@partial(jax.jit, static_argnames=("config",))
 def step(
     state: T.VioState,
     frame: jnp.ndarray,

@@ -49,6 +49,9 @@ def main(argv=None):
     ap.add_argument("--matcher", choices=["tube", "walk"], default="tube",
                     help="epipolar matcher: TPU-first tube probe or the "
                          "reference's pixel walk")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="frames per device dispatch (lax.scan offline fast "
+                         "path; 0/1 = streaming, one dispatch per frame)")
     ap.add_argument("--df-mode", choices=["jfa", "raster"], default=None,
                     help="auxiliary field: jump-flood NN (default) or the "
                          "reference's rasterized scatter")
@@ -121,7 +124,7 @@ def main(argv=None):
 
     t0 = time.time()
     if builder is None:
-        res = runner.run(seq)
+        res = runner.run(seq, chunk=args.chunk)
     else:
         ts_l, ori_l, pos_l, nm_l, ok_l = [], [], [], [], []
         for i in range(len(seq.images)):

@@ -20,7 +20,7 @@ from rebvio_tpu import types as T
 from rebvio_tpu.camera import Undistorter
 from rebvio_tpu.configs import PipelineConfig
 from rebvio_tpu.ops.imu import pack_imu_window
-from rebvio_tpu.pipeline import frontend_matrices, step
+from rebvio_tpu.pipeline import frontend_matrices, step, step_chunk
 
 
 @dataclasses.dataclass
@@ -70,8 +70,16 @@ class VioRunner:
         )
         return odo
 
-    def run(self, seq) -> RunResult:
-        """Run a synthetic/EuRoC Sequence object end to end."""
+    def run(self, seq, chunk: int = 0) -> RunResult:
+        """Run a synthetic/EuRoC Sequence object end to end.
+
+        ``chunk`` > 1 processes the sequence ``chunk`` frames per device
+        dispatch via lax.scan (pipeline.step_chunk) — the offline fast path
+        (identical results, amortized dispatch overhead).  The default is the
+        streaming path (one dispatch per frame, the reference's operating
+        mode)."""
+        if chunk and chunk > 1:
+            return self._run_chunked(seq, chunk)
         ts, ori, pos, nm, ok = [], [], [], [], []
         for i in range(len(seq.images)):
             odo = self.process_frame(
@@ -88,4 +96,64 @@ class VioRunner:
             position=np.stack(pos),
             num_matches=np.asarray(nm),
             run_ok=np.asarray(ok),
+        )
+
+    def _pack_inputs(self, seq, lo: int, hi: int):
+        """Device-batch frames [lo,hi) with their IMU windows and dts."""
+        frames = []
+        windows = []
+        dts = []
+        for i in range(lo, hi):
+            ts_us = int(seq.ts_us[i])
+            c = self._imu_cursor
+            j = c
+            while j < len(seq.imu_ts_us) and seq.imu_ts_us[j] <= ts_us:
+                j += 1
+            windows.append(pack_imu_window(
+                seq.imu_gyro[c:j], seq.imu_acc[c:j], seq.imu_ts_us[c:j],
+                self.config.imu.sample_max,
+            ))
+            self._imu_cursor = j
+            dts.append(0.0 if self._last_ts is None else (ts_us - self._last_ts) / 1e6)
+            self._last_ts = ts_us
+            img = jnp.asarray(seq.images[i])
+            if self.undistorter is not None:
+                img = self.undistorter(img)
+            else:
+                img = img.astype(jnp.float32) * self.config.image_gain
+            frames.append(img)
+        return (
+            jnp.stack(frames),
+            jax.tree.map(lambda *xs: jnp.stack(xs), *windows),
+            jnp.asarray(dts, jnp.float32),
+        )
+
+    def _run_chunked(self, seq, chunk: int) -> RunResult:
+        n = len(seq.images)
+        ts, ori, pos, nm, ok = [], [], [], [], []
+        for lo in range(0, n - n % chunk, chunk):
+            frames, imu_b, dts = self._pack_inputs(seq, lo, lo + chunk)
+            self.state, odos = step_chunk(
+                self.state, frames, imu_b, dts, self.config, self.mats
+            )
+            ori.append(np.asarray(odos.orientation))
+            pos.append(np.asarray(odos.position))
+            nm.append(np.asarray(odos.num_matches))
+            ok.append(np.asarray(odos.run_ok))
+            ts.extend(int(seq.ts_us[i]) for i in range(lo, lo + chunk))
+        for i in range(n - n % chunk, n):  # tail: streaming path
+            odo = self.process_frame(
+                seq.images[i], int(seq.ts_us[i]), seq.imu_ts_us, seq.imu_gyro, seq.imu_acc
+            )
+            ts.append(int(seq.ts_us[i]))
+            ori.append(np.asarray(odo.orientation)[None])
+            pos.append(np.asarray(odo.position)[None])
+            nm.append(np.asarray(odo.num_matches)[None])
+            ok.append(np.asarray(odo.run_ok)[None])
+        return RunResult(
+            ts_us=np.asarray(ts),
+            orientation=np.concatenate(ori),
+            position=np.concatenate(pos),
+            num_matches=np.concatenate(nm),
+            run_ok=np.concatenate(ok),
         )

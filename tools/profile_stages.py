@@ -164,6 +164,17 @@ def main():
         return aux + msum(new_map)
 
     N = args.iters
+
+    @jax.jit
+    def step_scalar(st, fr, imu_d):
+        s2, odo = step(st, fr, imu_d, dt, config, mats)
+        em2 = s2.edge_map
+        return (msum(em2) + em2.kl_id_img.sum().astype(jnp.float32)
+                + em2.nn_id_img.sum().astype(jnp.float32)
+                + odo.position.sum() + odo.orientation.sum() + s2.K
+                + s2.sab_state.X.sum() + s2.Pos.sum())
+
+    t_scalar = timeit(lambda: step_scalar(state, frame, imu_data), n=N)
     t_step = timeit(lambda: step(state, frame, imu_data, dt, config, mats)[1].position, n=N)
 
     times = []
@@ -174,7 +185,8 @@ def main():
     for name, t in zip(STAGES, times):
         print(f"{name:20s} cum {t*1e3:8.3f} ms   delta {(t-prev)*1e3:8.3f} ms")
         prev = t
-    print(f"{'full step':20s} cum {t_step*1e3:8.3f} ms   (incl. state-output dispatch overhead)")
+    print(f"{'step (scalar out)':20s} cum {t_scalar*1e3:8.3f} ms   delta {(t_scalar-prev)*1e3:8.3f} ms  (SAB + pose + assembly)")
+    print(f"{'full step':20s} cum {t_step*1e3:8.3f} ms   delta {(t_step-t_scalar)*1e3:8.3f} ms  (state-output dispatch overhead)")
 
 
 if __name__ == "__main__":
