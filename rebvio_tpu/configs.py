@@ -98,10 +98,10 @@ class EdgeMapConfig:
     match_threshold_angle: float = 45.0   # [deg]
     regularization_threshold: float = 0.5
     # tube matcher (TPU redesign of searchMatch) probes per keyline; no
-    # reference counterpart.  Gather volume (the matcher's cost) scales
-    # linearly with this.  6 loses <1% of matches vs 8 (synthetic VO/VIO,
-    # identical scale recovery) at 25% less gather volume.
-    tube_probes: int = 6
+    # reference counterpart.  Measured on v5e: 8 probes is as fast as 6
+    # (the [K,8] probe axis tiles better than [K,6]); 4 is ~40% faster but
+    # loses ~10% of matches on synthetic VO.  Quality default: 8.
+    tube_probes: int = 8
 
     @property
     def cang_min_edge(self) -> float:

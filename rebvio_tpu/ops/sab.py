@@ -41,21 +41,26 @@ def sab_problem(p: SabProblem, X: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
     g = X[1:4]
     b = X[4:7]
     sa, ca = jnp.sin(a), jnp.cos(a)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    z33 = jnp.zeros((3, 3), jnp.float32)
 
-    F = jnp.zeros((11,), jnp.float32)
-    F = F.at[0:3].set((p.a_s + g) * ca - p.a_v * sa)
-    F = F.at[3].set(jnp.dot(g, g) - p.G * p.G)
-    da = X[0] - p.x_p[0]
+    da = a - p.x_p[0]
     da = jnp.where(da > jnp.pi, da - 2 * jnp.pi, jnp.where(da < -jnp.pi, da + 2 * jnp.pi, da))
-    F = F.at[4].set(da)
     Rb = so3.exp(b)
     Rg_vec = Rb @ g
-    F = F.at[5:8].set(Rg_vec - p.x_p[1:4])
-    F = F.at[8:11].set(b - p.x_p[4:7])
-
-    dFda = jnp.zeros((11,), jnp.float32)
-    dFda = dFda.at[0:3].set(-(p.a_s + g) * sa - p.a_v * ca)
-    dFda = dFda.at[4].set(1.0)
+    # residual F and dF/dalpha assembled by concatenation (dynamic-update-
+    # slice chains don't fuse on TPU; one concatenate does)
+    F = jnp.concatenate([
+        (p.a_s + g) * ca - p.a_v * sa,
+        jnp.stack([jnp.dot(g, g) - p.G * p.G, da]),
+        Rg_vec - p.x_p[1:4],
+        b - p.x_p[4:7],
+    ])
+    dFda = jnp.concatenate([
+        -(p.a_s + g) * sa - p.a_v * ca,
+        jnp.array([0.0, 1.0], jnp.float32),
+        jnp.zeros((6,), jnp.float32),
+    ])
 
     # dF/d[g, b]  (11x6)
     Gx = jnp.array(
@@ -66,39 +71,48 @@ def sab_problem(p: SabProblem, X: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
         ],
         jnp.float32,
     )
-    dFdx1 = jnp.zeros((11, 6), jnp.float32)
-    dFdx1 = dFdx1.at[0:3, 0:3].set(jnp.eye(3, dtype=jnp.float32) * ca)
-    dFdx1 = dFdx1.at[3, 0:3].set(2.0 * g)
-    dFdx1 = dFdx1.at[5:8, 0:3].set(Rb)
-    dFdx1 = dFdx1.at[5:8, 3:6].set(Gx)
-    dFdx1 = dFdx1.at[8:11, 3:6].set(jnp.eye(3, dtype=jnp.float32))
+    dFdx1 = jnp.concatenate([
+        jnp.concatenate([eye3 * ca, z33], axis=1),
+        jnp.concatenate([2.0 * g, jnp.zeros((3,), jnp.float32)])[None, :],
+        jnp.zeros((1, 6), jnp.float32),
+        jnp.concatenate([Rb, Gx], axis=1),
+        jnp.concatenate([z33, eye3], axis=1),
+    ])
+
+    def blockdiag11(B0, s3, B4):
+        z38 = jnp.zeros((3, 8), jnp.float32)
+        r0 = jnp.concatenate([B0, z38], axis=1)
+        r1 = jnp.concatenate(
+            [jnp.zeros((1, 3), jnp.float32), s3[None, None], jnp.zeros((1, 7), jnp.float32)],
+            axis=1,
+        )
+        r2 = jnp.concatenate([jnp.zeros((7, 4), jnp.float32), B4], axis=1)
+        return jnp.concatenate([r0, r1, r2])
 
     Pz = sa * sa * p.Rv + ca * ca * p.Rs
-    P = jnp.zeros((11, 11), jnp.float32)
-    P = P.at[0:3, 0:3].set(Pz)
-    P = P.at[3, 3].set(p.Rg)
-    P = P.at[4:11, 4:11].set(p.Pp)
+    W0 = linalg.invert3(Pz)  # symmetric 3x3: closed form
+    W = blockdiag11(W0, 1.0 / p.Rg, p.W_pp)
 
-    W = jnp.zeros((11, 11), jnp.float32)
-    W = W.at[0:3, 0:3].set(linalg.invert3(Pz))  # symmetric 3x3: closed form
-    W = W.at[3, 3].set(1.0 / p.Rg)
-    W = W.at[4:11, 4:11].set(p.W_pp)
+    # dW/da and dW@P@dW are nonzero only in the leading 3x3 block
+    dP0 = 2.0 * sa * ca * (p.Rv - p.Rs)
+    dWda0 = -W0 @ dP0 @ W0
+    dWPdW0 = dWda0 @ Pz @ dWda0
+    F0 = F[0:3]
+    dFda0 = dFda[0:3]
 
-    dPda = jnp.zeros((11, 11), jnp.float32)
-    dPda = dPda.at[0:3, 0:3].set(2.0 * sa * ca * (p.Rv - p.Rs))
-    dWda = -W @ dPda @ W
-
-    JtJ = jnp.zeros((7, 7), jnp.float32)
-    j00 = 0.25 * F @ dWda @ P @ dWda @ F + dFda @ dWda @ F + dFda @ W @ dFda
-    col = 0.5 * dFdx1.T @ dWda @ F + dFdx1.T @ W @ dFda
-    JtJ = JtJ.at[0, 0].set(j00)
-    JtJ = JtJ.at[1:, 0].set(col)
-    JtJ = JtJ.at[0, 1:].set(col)
-    JtJ = JtJ.at[1:, 1:].set(dFdx1.T @ W @ dFdx1)
-
-    JtF = jnp.zeros((7,), jnp.float32)
-    JtF = JtF.at[0].set(0.5 * F @ dWda @ F + dFda @ W @ F)
-    JtF = JtF.at[1:].set(dFdx1.T @ W @ F)
+    WF = W @ F
+    WdFda = W @ dFda
+    j00 = 0.25 * F0 @ dWPdW0 @ F0 + dFda0 @ (dWda0 @ F0) + dFda @ WdFda
+    dWdaF_pad = jnp.concatenate([dWda0 @ F0, jnp.zeros((8,), jnp.float32)])
+    col = dFdx1.T @ (0.5 * dWdaF_pad + WdFda)
+    JtJ = jnp.concatenate([
+        jnp.concatenate([j00[None], col])[None, :],
+        jnp.concatenate([col[:, None], dFdx1.T @ W @ dFdx1], axis=1),
+    ])
+    JtF = jnp.concatenate([
+        (0.5 * F0 @ (dWda0 @ F0) + dFda @ WF)[None],
+        dFdx1.T @ WF,
+    ])
     return JtJ, JtF
 
 
