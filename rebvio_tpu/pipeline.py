@@ -308,6 +308,52 @@ def step_chunk(
 
 
 @partial(jax.jit, static_argnames=("config",))
+def step_chunk_pipelined(
+    state: T.VioState,
+    frames: jnp.ndarray,           # [N,H,W]
+    imu_data: T.ImuFrameData,      # leaves [N,...]
+    frame_dt: jnp.ndarray,         # [N]
+    config: PipelineConfig,
+    mats: FrontendMatrices = None,
+) -> Tuple[T.VioState, T.Odometry]:
+    """N frames per dispatch with the frontend batched across the chunk.
+
+    The reference runs detection on its own thread, concurrent with
+    estimation (rebvio.cpp:28-29): the auto-gain threshold chain is
+    detector-local and estimation never feeds back into detection.  Holding
+    the threshold fixed within the chunk makes all N detections independent,
+    so they run as ONE vmapped frontend (N-wide matmuls, one JFA pass set)
+    instead of N serial ones; estimation then scans over the precomputed
+    maps.  Deviation from the strict streaming semantics: the threshold
+    controller (edge_detector.cpp:33-36) updates once per chunk (from the
+    last frame's keyline count) instead of once per frame — the controller's
+    gain (5e-7/keyline) makes this a sub-1e-4 threshold difference per chunk.
+    """
+    if mats is None:
+        mats = frontend_matrices(config)
+    threshold = edge_detect.autogain_threshold(
+        state.detector_threshold, state.keylines_count, config.detector
+    )
+
+    def detect_one(fr):
+        m = edge_detect.detect(fr, threshold, mats, config.detector, config.camera)
+        if config.df_mode == "jfa":
+            nn = DF.build_nn_field(
+                m, int(config.core.search_range), config.camera.rows, config.camera.cols
+            )
+            m = m.replace(nn_id_img=nn)
+        return m
+
+    maps = jax.vmap(detect_one)(frames)
+
+    def body(st, inp):
+        new_map, imu_i, dt_i = inp
+        return advance(st, new_map, threshold, imu_i, dt_i, config)
+
+    return jax.lax.scan(body, state, (maps, imu_data, frame_dt))
+
+
+@partial(jax.jit, static_argnames=("config",))
 def step(
     state: T.VioState,
     frame: jnp.ndarray,
@@ -321,7 +367,20 @@ def step(
     if mats is None:
         mats = frontend_matrices(config)
     new_map, threshold = detect_frame(state, frame, mats, config)
+    return advance(state, new_map, threshold, imu_data, frame_dt, config)
 
+
+def advance(
+    state: T.VioState,
+    new_map: T.EdgeMap,
+    threshold: jnp.ndarray,
+    imu_data: T.ImuFrameData,
+    frame_dt: jnp.ndarray,
+    config: PipelineConfig,
+) -> Tuple[T.VioState, T.Odometry]:
+    """Everything after detection: estimation, first-frame handling, failure
+    latch / recovery, and state bookkeeping (the non-frontend part of the
+    master loop, rebvio.cpp:119-292)."""
     est_state, est_map, est_odo = estimate(
         state, state.edge_map, new_map, imu_data, frame_dt, config
     )

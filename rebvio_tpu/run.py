@@ -52,6 +52,10 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=0,
                     help="frames per device dispatch (lax.scan offline fast "
                          "path; 0/1 = streaming, one dispatch per frame)")
+    ap.add_argument("--chunk-mode", choices=["pipelined", "exact"], default="exact",
+                    help="pipelined = frontend batched across the chunk "
+                         "(threshold controller updates once per chunk); "
+                         "exact = per-frame streaming semantics")
     ap.add_argument("--df-mode", choices=["jfa", "raster"], default=None,
                     help="auxiliary field: jump-flood NN (default) or the "
                          "reference's rasterized scatter")
@@ -124,7 +128,8 @@ def main(argv=None):
 
     t0 = time.time()
     if builder is None:
-        res = runner.run(seq, chunk=args.chunk)
+        res = runner.run(seq, chunk=args.chunk,
+                         pipelined=(args.chunk_mode == "pipelined"))
     else:
         ts_l, ori_l, pos_l, nm_l, ok_l = [], [], [], [], []
         for i in range(len(seq.images)):

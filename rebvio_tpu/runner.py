@@ -20,7 +20,9 @@ from rebvio_tpu import types as T
 from rebvio_tpu.camera import Undistorter
 from rebvio_tpu.configs import PipelineConfig
 from rebvio_tpu.ops.imu import pack_imu_window
-from rebvio_tpu.pipeline import frontend_matrices, step, step_chunk
+from rebvio_tpu.pipeline import (
+    frontend_matrices, step, step_chunk, step_chunk_pipelined,
+)
 
 
 @dataclasses.dataclass
@@ -70,16 +72,18 @@ class VioRunner:
         )
         return odo
 
-    def run(self, seq, chunk: int = 0) -> RunResult:
+    def run(self, seq, chunk: int = 0, pipelined: bool = False) -> RunResult:
         """Run a synthetic/EuRoC Sequence object end to end.
 
         ``chunk`` > 1 processes the sequence ``chunk`` frames per device
         dispatch via lax.scan (pipeline.step_chunk) — the offline fast path
-        (identical results, amortized dispatch overhead).  The default is the
-        streaming path (one dispatch per frame, the reference's operating
-        mode)."""
+        (identical results, amortized dispatch overhead).  ``pipelined``
+        additionally batches the frontend across the chunk
+        (pipeline.step_chunk_pipelined; threshold controller updates once
+        per chunk).  The default is the streaming path (one dispatch per
+        frame, the reference's operating mode)."""
         if chunk and chunk > 1:
-            return self._run_chunked(seq, chunk)
+            return self._run_chunked(seq, chunk, pipelined)
         ts, ori, pos, nm, ok = [], [], [], [], []
         for i in range(len(seq.images)):
             odo = self.process_frame(
@@ -128,12 +132,13 @@ class VioRunner:
             jnp.asarray(dts, jnp.float32),
         )
 
-    def _run_chunked(self, seq, chunk: int) -> RunResult:
+    def _run_chunked(self, seq, chunk: int, pipelined: bool) -> RunResult:
         n = len(seq.images)
+        chunk_fn = step_chunk_pipelined if pipelined else step_chunk
         ts, ori, pos, nm, ok = [], [], [], [], []
         for lo in range(0, n - n % chunk, chunk):
             frames, imu_b, dts = self._pack_inputs(seq, lo, lo + chunk)
-            self.state, odos = step_chunk(
+            self.state, odos = chunk_fn(
                 self.state, frames, imu_b, dts, self.config, self.mats
             )
             ori.append(np.asarray(odos.orientation))

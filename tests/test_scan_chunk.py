@@ -9,7 +9,9 @@ from rebvio_tpu import types as T
 from rebvio_tpu.configs import PipelineConfig, CameraConfig, EdgeDetectorConfig, CoreConfig
 from rebvio_tpu.data import synthetic
 from rebvio_tpu.ops.imu import pack_imu_window
-from rebvio_tpu.pipeline import frontend_matrices, step, step_chunk
+from rebvio_tpu.pipeline import (
+    frontend_matrices, step, step_chunk, step_chunk_pipelined,
+)
 
 
 def _cfg() -> PipelineConfig:
@@ -64,3 +66,17 @@ def test_scan_chunk_matches_sequential_steps():
         np.asarray(s_chunk.Pos), np.asarray(s_seq.Pos), rtol=1e-5, atol=1e-6
     )
     assert bool(s_chunk.run_ok) == bool(s_seq.run_ok)
+
+    # pipelined variant (batched frontend, chunk-held threshold): same
+    # trajectory within the tolerance of the once-per-chunk autogain update
+    s_pipe, odo_pipe = step_chunk_pipelined(
+        T.init_vio_state(cfg), frames, imu_b, dts, cfg, mats
+    )
+    np.testing.assert_allclose(
+        np.asarray(odo_pipe.position),
+        np.asarray(odo_chunk.position), rtol=1e-3, atol=1e-3,
+    )
+    nm_a = np.asarray(odo_chunk.num_matches)[1:]
+    nm_b = np.asarray(odo_pipe.num_matches)[1:]
+    assert (np.abs(nm_a - nm_b) <= 0.02 * np.maximum(nm_a, 1)).all(), (nm_a, nm_b)
+    assert bool(s_pipe.run_ok)
