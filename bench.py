@@ -1,8 +1,11 @@
 """Benchmark: full-resolution VIO frames/s on one TPU chip.
 
 Runs the complete per-frame step (undistorted full-res EuRoC-shaped frames,
-16k keylines, full VIO path) on synthetic wireframe imagery with all inputs
-device-resident, and reports steady-state frames/s.
+full VIO path) on synthetic wireframe imagery with all inputs
+device-resident, and reports steady-state frames/s.  Default profile is the
+throughput-validated fast profile (8k keylines, 4-probe matcher —
+configs.fast_profile, ATE-equivalent on the synthetic regression);
+BENCH_PROFILE=parity benches the reference's 16k-keyline setting.
 
 Synchronization note: on the remote-device backend used here,
 ``block_until_ready`` returns before execution completes; a device->host
@@ -15,6 +18,7 @@ operating claim is real-time at the EuRoC camera rate of 20 fps on CPU
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -35,9 +39,11 @@ def main():
     from rebvio_tpu.configs import PipelineConfig
     from rebvio_tpu.data import synthetic
     from rebvio_tpu.ops.imu import pack_imu_window
+    from rebvio_tpu.configs import fast_profile
     from rebvio_tpu.pipeline import frontend_matrices, step, step_chunk
 
-    config = PipelineConfig()
+    profile = os.environ.get("BENCH_PROFILE", "fast")
+    config = fast_profile() if profile == "fast" else PipelineConfig()
     cam = config.camera
     mats = frontend_matrices(config)
 
@@ -87,10 +93,13 @@ def main():
         best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
     fps = n_iter * n_frames / best
 
+    kmax = config.detector.keylines_max
     print(json.dumps({
         "metric": "vio_frames_per_second_single_chip",
         "value": round(fps, 2),
-        "unit": "frames/s (752x480, 16k keylines, full VIO step, 8-frame scan chunks)",
+        "unit": f"frames/s (752x480 full-res VIO, {profile} profile, "
+                f"{kmax} keylines max, 8-frame scan chunks; "
+                f"BENCH_PROFILE=parity for the reference's 16k setting)",
         "vs_baseline": round(fps / 20.0, 2),
     }))
 

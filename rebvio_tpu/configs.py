@@ -173,3 +173,23 @@ class PipelineConfig:
     @property
     def kmax(self) -> int:
         return self.detector.keylines_max
+
+
+def fast_profile(**overrides) -> PipelineConfig:
+    """Throughput-oriented full-resolution profile.
+
+    Same camera/algorithm as the default EuRoC profile but with the keyline
+    budget halved (8192 max / 6000 target vs the reference's 16000/12000,
+    edge_detector.hpp:20-21) and a 4-probe tube matcher.  Every matcher and
+    tracker kernel is gather-bound, so cost scales ~linearly with the keyline
+    count; 6k keylines is still 3-10x the feature budget of typical
+    point-feature VIO systems, and the auto-gain controller simply raises the
+    detection threshold to keep the strongest edges.  Validated on the
+    synthetic regression to track within the same ATE band as the default
+    profile (tests/test_fast_profile.py).
+    """
+    det = EdgeDetectorConfig(keylines_max=8192, keylines_ref=6000)
+    em = EdgeMapConfig(tube_probes=4)
+    base = dict(detector=det, edge_map=em)
+    base.update(overrides)
+    return PipelineConfig(**base)

@@ -96,15 +96,19 @@ def build_nn_field(
     flat = jnp.where(inb, row * cols + col, rows * cols)
 
     BIG = jnp.float32(1e9)
-    sid = jnp.full((rows * cols,), -1, jnp.int32).at[flat].set(
-        jnp.arange(kmax, dtype=jnp.int32), mode="drop"
-    ).reshape(rows, cols)
-    sy = jnp.full((rows * cols,), BIG, jnp.float32).at[flat].set(
-        em.pos[:, 1], mode="drop"
-    ).reshape(rows, cols)
-    sx = jnp.full((rows * cols,), BIG, jnp.float32).at[flat].set(
-        em.pos[:, 0], mode="drop"
-    ).reshape(rows, cols)
+    # one packed row scatter for the three seed planes (id as exact f32)
+    seed_rows = jnp.stack(
+        [jnp.arange(kmax, dtype=jnp.float32), em.pos[:, 1], em.pos[:, 0]], axis=-1
+    )
+    init = jnp.stack(
+        [jnp.full((rows * cols,), -1.0, jnp.float32),
+         jnp.full((rows * cols,), BIG, jnp.float32),
+         jnp.full((rows * cols,), BIG, jnp.float32)], axis=-1,
+    )
+    planes = init.at[flat].set(seed_rows, mode="drop")
+    sid = planes[:, 0].astype(jnp.int32).reshape(rows, cols)
+    sy = planes[:, 1].reshape(rows, cols)
+    sx = planes[:, 2].reshape(rows, cols)
 
     yy = jnp.arange(rows, dtype=jnp.float32)[:, None]
     xx = jnp.arange(cols, dtype=jnp.float32)[None, :]

@@ -116,10 +116,10 @@ def detect(
     safe_idx = jnp.where(valid, flat_idx, 0)
     prow = (safe_idx // W).astype(jnp.float32)
     pcol = (safe_idx % W).astype(jnp.float32)
-    xs_k = xs.reshape(-1)[safe_idx]
-    ys_k = ys.reshape(-1)[safe_idx]
-    g0_k = t0.reshape(-1)[safe_idx]
-    g1_k = t1.reshape(-1)[safe_idx]
+    # one packed row-gather for the 4 per-pixel fields
+    planes = jnp.stack([xs, ys, t0, t1], axis=-1).reshape(H * W, 4)
+    rowk = planes[safe_idx]
+    xs_k, ys_k, g0_k, g1_k = rowk[:, 0], rowk[:, 1], rowk[:, 2], rowk[:, 3]
 
     pos = jnp.stack([pcol + xs_k, prow + ys_k], axis=-1)
     pos = jnp.where(valid[:, None], pos, 0.0)

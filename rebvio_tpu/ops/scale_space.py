@@ -142,13 +142,17 @@ def build_scale_space(
     s0 = left[:H] @ mats.R0
     s1 = left[H:] @ mats.R1
     dog = s1 - s0
-    # central differences as shifted slices (VPU, no matmul)
-    dx = jnp.zeros_like(s0).at[:, 1:-1].set(s0[:, 2:] - s0[:, :-2])
-    dy = jnp.zeros_like(s0).at[1:-1, :].set(s0[2:, :] - s0[:-2, :])
-    mag = dx * dx + dy * dy
-    # reference computes only interior pixels; zero the one-pixel border
-    mag = mag.at[0, :].set(0.0).at[-1, :].set(0.0)
-    mag = mag.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    # central differences as shifted slices (VPU, no matmul); borders zeroed
+    # via a fused iota mask (the reference computes interior pixels only) —
+    # dynamic-update-slice border writes don't fuse on TPU and cost ~0.5 ms
+    zc = jnp.zeros((H, 1), s0.dtype)
+    zr = jnp.zeros((1, W), s0.dtype)
+    dx = jnp.concatenate([zc, s0[:, 2:] - s0[:, :-2], zc], axis=1)
+    dy = jnp.concatenate([zr, s0[2:, :] - s0[:-2, :], zr], axis=0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    interior1 = (rr >= 1) & (rr < H - 1) & (cc >= 1) & (cc < W - 1)
+    mag = jnp.where(interior1, dx * dx + dy * dy, 0.0)
     return s0, dog, mag
 
 
