@@ -142,6 +142,10 @@ class ImuConfig:
     init_bias_frame_num: int = 10
     init_bias_guess: Tuple[float, float, float] = (0.0188, 0.0037, 0.0776)
     sample_max: int = 32             # static per-frame IMU sample buffer size
+    # SAB Gauss-Newton iterations.  The reference always runs 20 (its
+    # convergence tolerances default to 0, sab_estimator.hpp:72); the solve
+    # typically converges in <10, so the fast profile halves this.
+    sab_iterations: int = 20
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,6 +173,12 @@ class PipelineConfig:
     # ("tube" requires df_mode == "jfa".)
     df_mode: str = "jfa"
     matcher: str = "tube"
+    # JFA field resolution divisor (df_mode "jfa" only; must be 1 for
+    # "raster").  2 = half-resolution auxiliary field: 4x less field traffic;
+    # the field only *proposes* candidate keylines — all gates and residuals
+    # use the exact keyline fields — so the cost is an occasional
+    # nearest-keyline proposal swap within ~field_scale pixels.
+    field_scale: int = 1
 
     @property
     def kmax(self) -> int:
@@ -190,6 +200,7 @@ def fast_profile(**overrides) -> PipelineConfig:
     """
     det = EdgeDetectorConfig(keylines_max=8192, keylines_ref=6000)
     em = EdgeMapConfig(tube_probes=4)
-    base = dict(detector=det, edge_map=em)
+    imu = ImuConfig(sab_iterations=10)
+    base = dict(detector=det, edge_map=em, imu=imu, field_scale=2)
     base.update(overrides)
     return PipelineConfig(**base)

@@ -70,9 +70,9 @@ def field_id(field: jnp.ndarray, kmax: int) -> jnp.ndarray:
     return jnp.where(field < 0, -1, kmax - 1 - (field % kmax))
 
 
-@partial(jax.jit, static_argnames=("search_range", "rows", "cols"))
+@partial(jax.jit, static_argnames=("search_range", "rows", "cols", "scale"))
 def build_nn_field(
-    em: T.EdgeMap, search_range: int, rows: int, cols: int
+    em: T.EdgeMap, search_range: int, rows: int, cols: int, scale: int = 1
 ) -> jnp.ndarray:
     """Dense nearest-keyline id field via jump flooding (JFA).
 
@@ -85,20 +85,30 @@ def build_nn_field(
     directions, so the tracker finds at least as many candidates (the
     gradient-similarity gate in calculatefJ, core.cpp:56, still applies).
 
-    Returns an [rows*cols] int32 id image (-1 = no keyline within range).
+    Returns an [ceil(rows/scale)*ceil(cols/scale)] int32 id image (-1 = no
+    keyline within range).  ``scale`` > 1 builds the field on a decimated
+    grid (coordinates and search_range in scaled units): 1/scale^2 the
+    traffic; consumers index it with pixel//scale.
     """
     kmax = em.kmax
     use = em.valid & ((em.threshold <= 0.0) | (em.grad_norm >= em.threshold))
+    if scale > 1:
+        rows = (rows + scale - 1) // scale
+        cols = (cols + scale - 1) // scale
+        search_range = max(1, round(search_range / scale))
+    inv_s = jnp.float32(1.0 / scale)
+    pos_x = em.pos[:, 0] * inv_s
+    pos_y = em.pos[:, 1] * inv_s
 
-    col = jnp.floor(em.pos[:, 0] + 0.5).astype(jnp.int32)
-    row = jnp.floor(em.pos[:, 1] + 0.5).astype(jnp.int32)
+    col = jnp.floor(pos_x + 0.5).astype(jnp.int32)
+    row = jnp.floor(pos_y + 0.5).astype(jnp.int32)
     inb = use & (row >= 0) & (row < rows) & (col >= 0) & (col < cols)
     flat = jnp.where(inb, row * cols + col, rows * cols)
 
     BIG = jnp.float32(1e9)
     # one packed row scatter for the three seed planes (id as exact f32)
     seed_rows = jnp.stack(
-        [jnp.arange(kmax, dtype=jnp.float32), em.pos[:, 1], em.pos[:, 0]], axis=-1
+        [jnp.arange(kmax, dtype=jnp.float32), pos_y, pos_x], axis=-1
     )
     init = jnp.stack(
         [jnp.full((rows * cols,), -1.0, jnp.float32),

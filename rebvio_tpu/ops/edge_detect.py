@@ -35,13 +35,14 @@ from rebvio_tpu.configs import CameraConfig, EdgeDetectorConfig
 from rebvio_tpu.ops.scale_space import FrontendMatrices, build_scale_space
 
 
-@partial(jax.jit, static_argnames=("cfg", "cam"))
+@partial(jax.jit, static_argnames=("cfg", "cam", "field_scale"))
 def detect(
     image: jnp.ndarray,
     threshold: jnp.ndarray,
     mats: FrontendMatrices,
     cfg: EdgeDetectorConfig,
     cam: CameraConfig,
+    field_scale: int = 1,
 ) -> T.EdgeMap:
     """Detect keylines in a (already undistorted, gain-applied) float image.
 
@@ -143,7 +144,7 @@ def detect(
     # --- auto-threshold from gradient-norm histogram (tuneThreshold) ---
     map_threshold = _tune_threshold(grad_norm, valid, count, cfg)
 
-    em = T.empty_edge_map(kmax, H, W)
+    em = T.empty_edge_map(kmax, H, W, field_scale)
     return em.replace(
         pos=pos, pos_img=pos_img, match_pos_img=pos_img,
         grad=grad, grad_norm=grad_norm,

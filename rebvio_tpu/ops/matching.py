@@ -282,7 +282,7 @@ def directed_match(
     return new, jnp.sum(found).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "core_cfg", "cam", "n_probes"))
+@partial(jax.jit, static_argnames=("cfg", "core_cfg", "cam", "n_probes", "field_scale"))
 def directed_match_tube(
     new: T.EdgeMap,
     old: T.EdgeMap,
@@ -293,6 +293,7 @@ def directed_match_tube(
     core_cfg: CoreConfig,
     cam: CameraConfig,
     n_probes: int = 0,
+    field_scale: int = 1,
 ) -> Tuple[T.EdgeMap, jnp.ndarray]:
     """Epipolar matching via the dense nearest-keyline field (TPU-first
     redesign of searchMatch's pixel walk, edge_map.cpp:101-184).
@@ -362,7 +363,12 @@ def directed_match_tube(
     row = jnp.clip(jnp.floor(py_pix + 0.5).astype(jnp.int32), 0, H - 1)
     inb = (px_pix >= -0.5) & (px_pix < W - 0.5) & (py_pix >= -0.5) & (py_pix < H - 0.5)
     nn_f = old.nn_id_img.astype(jnp.float32)  # f32 gathers: fast path
-    oid = jnp.where(inb, nn_f[row * W + col].astype(jnp.int32), -1)
+    if field_scale > 1:  # decimated auxiliary field (configs.field_scale)
+        Wf = (W + field_scale - 1) // field_scale
+        pidx = (row // field_scale) * Wf + (col // field_scale)
+    else:
+        pidx = row * W + col
+    oid = jnp.where(inb, nn_f[pidx].astype(jnp.int32), -1)
     has = oid >= 0
     os = jnp.clip(oid, 0, kmax - 1)
 

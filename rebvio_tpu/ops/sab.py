@@ -162,6 +162,7 @@ def estimate_bias(
     Wvw: jnp.ndarray,
     Xvw: jnp.ndarray,
     g_gravit: jnp.ndarray,
+    iters: int = 20,
 ) -> EstimateBiasOut:
     """7-state KF predict + SAB Gauss-Newton update + re-fusion of the rigid
     transform with the bias information (core.cpp:349-414)."""
@@ -188,7 +189,7 @@ def estimate_bias(
     W_pp = linalg.chol_inverse(Pp)
     prob = SabProblem(a_v=a_v, a_s=a_s, G=g_gravit, x_p=X, Pp=Pp, W_pp=W_pp,
                       Rv=Rv, Rs=Rs, Rg=Rg)
-    X = sab_gauss_newton(prob, X, 20)
+    X = sab_gauss_newton(prob, X, iters)
     JtJ, _ = sab_problem(prob, X)
     P = linalg.chol_inverse(JtJ)
 

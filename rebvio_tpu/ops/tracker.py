@@ -55,6 +55,7 @@ def try_vel(
     cam: CameraConfig,
     new_pack: jnp.ndarray = None,
     field_f: jnp.ndarray = None,
+    field_scale: int = 1,
 ) -> TryVelOut:
     """One residual/Jacobian pass of the translation tracker (core.cpp:78-148).
 
@@ -94,9 +95,14 @@ def try_vel(
     lookup_ok = use & front & inb
     xs = jnp.clip(x, 0, W - 1)
     ys = jnp.clip(y, 0, H - 1)
+    if field_scale > 1:  # decimated auxiliary field (configs.field_scale)
+        Wf = (W + field_scale - 1) // field_scale
+        fidx = (ys // field_scale) * Wf + (xs // field_scale)
+    else:
+        fidx = ys * W + xs
     # field ids gathered as exact f32 (int32 gathers hit a slow path)
     fid = jnp.where(
-        lookup_ok, field_f[ys * W + xs].astype(jnp.int32), -1
+        lookup_ok, field_f[fidx].astype(jnp.int32), -1
     )
     has_df = fid >= 0
     # clip against the TARGET map's size (differs from old.kmax when the old
@@ -152,7 +158,7 @@ def try_vel(
     return TryVelOut(score, JtJ, JtF, new_res, mif)
 
 
-@partial(jax.jit, static_argnames=("cfg", "cam"))
+@partial(jax.jit, static_argnames=("cfg", "cam", "field_scale"))
 def minimize_vel(
     old: T.EdgeMap,
     new: T.EdgeMap,
@@ -160,6 +166,7 @@ def minimize_vel(
     vel0: jnp.ndarray,
     cfg: CoreConfig,
     cam: CameraConfig,
+    field_scale: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, T.EdgeMap, jnp.ndarray]:
     """Levenberg-Marquardt translation estimation (core.cpp:150-189).
 
@@ -172,7 +179,7 @@ def minimize_vel(
     new_pack = pack_target_fields(new)
     field_f = field_ids.astype(jnp.float32)
 
-    out = try_vel(old, new, field_ids, vel0, sigma_rho_min, residuals, cfg, cam, new_pack, field_f)
+    out = try_vel(old, new, field_ids, vel0, sigma_rho_min, residuals, cfg, cam, new_pack, field_f, field_scale)
     F, JtJ, JtF, residuals, mif = out
     vel = vel0
     u = 1e-3 * jnp.max(JtJ)
@@ -183,7 +190,7 @@ def minimize_vel(
         ApI = JtJ + jnp.eye(3, dtype=jnp.float32) * u
         h = linalg.invert3(ApI) @ (-JtF)
         vel_new = vel + h
-        o2 = try_vel(old, new, field_ids, vel_new, sigma_rho_min, residuals, cfg, cam, new_pack, field_f)
+        o2 = try_vel(old, new, field_ids, vel_new, sigma_rho_min, residuals, cfg, cam, new_pack, field_f, field_scale)
         residuals, mif = o2.residuals, o2.match_id_forward
         gain = (F - o2.score) / (0.5 * jnp.dot(h, u * h - JtF))
         accept = gain > 0.0

@@ -61,10 +61,12 @@ def detect_frame(state: T.VioState, frame: jnp.ndarray, mats: FrontendMatrices,
     threshold = edge_detect.autogain_threshold(
         state.detector_threshold, state.keylines_count, config.detector
     )
-    new_map = edge_detect.detect(frame, threshold, mats, config.detector, config.camera)
+    new_map = edge_detect.detect(frame, threshold, mats, config.detector, config.camera,
+                                 field_scale=config.field_scale)
     if config.df_mode == "jfa":
         nn = DF.build_nn_field(
-            new_map, int(config.core.search_range), config.camera.rows, config.camera.cols
+            new_map, int(config.core.search_range), config.camera.rows,
+            config.camera.cols, config.field_scale,
         )
         new_map = new_map.replace(nn_id_img=nn)
     return new_map, threshold
@@ -91,11 +93,14 @@ def estimate(
     # --- distance field from the new map (rebvio.cpp:142) ---
     if config.df_mode == "jfa":
         field_ids = new_map.nn_id_img  # built in detect_frame
+        field_scale = config.field_scale
     else:
+        assert config.field_scale == 1, "raster field requires field_scale=1"
         field = DF.build_distance_field(
             new_map, int(core_cfg.search_range), cam.rows, cam.cols
         )
         field_ids = DF.field_id(field, new_map.kmax)
+        field_scale = 1
 
     Bg = ist.Bg
     W_Bg = ist.W_Bg
@@ -135,7 +140,7 @@ def estimate(
     # --- translation-only LM against the distance field (rebvio.cpp:169) ---
     Vg = jnp.zeros(3, jnp.float32)
     Vg, P_Vg, old_map, _score = tracker.minimize_vel(
-        old_map, new_map, field_ids, Vg, core_cfg, cam
+        old_map, new_map, field_ids, Vg, core_cfg, cam, field_scale
     )
 
     # --- forward matching into the new map (rebvio.cpp:172) ---
@@ -187,6 +192,7 @@ def estimate(
         out = sab.estimate_bias(
             As, Av, jnp.float32(1.0), R, sab_X, sab_P, Qg, P_W, Qbias, P_Kp,
             Rg, Rs, Rv_sab, W_Xgv, Xgva, jnp.float32(icfg.g_norm),
+            iters=icfg.sab_iterations,
         )
         K = jnp.where(engaged, out.K, K)
         sab_X = jnp.where(engaged, out.X, sab_X)
@@ -212,7 +218,8 @@ def estimate(
     if config.matcher == "tube":
         assert config.df_mode == "jfa", "tube matcher requires the JFA field"
         new_map_dm, klm = matching.directed_match_tube(
-            new_map, old_map, V, P_V, Rgva, config.edge_map, core_cfg, cam
+            new_map, old_map, V, P_V, Rgva, config.edge_map, core_cfg, cam,
+            field_scale=config.field_scale,
         )
     else:
         new_map_dm, klm = matching.directed_match(

@@ -61,10 +61,12 @@ class EdgeMap(struct.PyTreeNode):
         return self.pos.shape[0]
 
 
-def empty_edge_map(kmax: int, rows: int, cols: int) -> EdgeMap:
+def empty_edge_map(kmax: int, rows: int, cols: int, field_scale: int = 1) -> EdgeMap:
     f = jnp.zeros((kmax,), jnp.float32)
     f2 = jnp.zeros((kmax, 2), jnp.float32)
     i = jnp.full((kmax,), -1, jnp.int32)
+    fr = (rows + field_scale - 1) // field_scale
+    fc = (cols + field_scale - 1) // field_scale
     return EdgeMap(
         pos=f2, pos_img=f2, match_pos_img=f2, grad=f2, match_grad=f2,
         grad_norm=f, match_grad_norm=f,
@@ -74,7 +76,7 @@ def empty_edge_map(kmax: int, rows: int, cols: int) -> EdgeMap:
         match_id_keyframe=i, matches=jnp.zeros((kmax,), jnp.int32),
         valid=jnp.zeros((kmax,), bool), count=jnp.zeros((), jnp.int32),
         kl_id_img=jnp.full((rows, cols), -1, jnp.int32),
-        nn_id_img=jnp.full((rows * cols,), -1, jnp.int32),
+        nn_id_img=jnp.full((fr * fc,), -1, jnp.int32),
         threshold=jnp.full((), -1.0, jnp.float32),
     )
 
@@ -211,7 +213,7 @@ def init_vio_state(config: PipelineConfig) -> VioState:
     kmax = config.detector.keylines_max
     cam = config.camera
     return VioState(
-        edge_map=empty_edge_map(kmax, cam.rows, cam.cols),
+        edge_map=empty_edge_map(kmax, cam.rows, cam.cols, config.field_scale),
         imu_state=init_imu_state(),
         sab_state=init_sab_state(config.imu),
         K=jnp.ones((), jnp.float32),
