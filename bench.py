@@ -12,9 +12,13 @@ Synchronization note: on the remote-device backend used here,
 value readback is the only true fence, so timing is measured between full
 readbacks and the (measured) readback round-trip is subtracted.
 
-vs_baseline: the reference publishes no benchmark numbers (BASELINE.md); its
-operating claim is real-time at the EuRoC camera rate of 20 fps on CPU
-(752x480 @ 20 Hz hard-coded).  vs_baseline is therefore frames/s / 20.
+vs_baseline: the MEASURED throughput of the actual reference implementation,
+built unmodified in this container (native/reference_anchor/) and timed on
+the same synthetic EuRoC-geometry workload (13.8k keylines/frame): 31.71
+frames/s best-of-5 (REFERENCE_BASELINE.json; replaces round 1's 20 Hz
+camera-rate proxy).  Also records the BASELINE.json roofline metric
+(jtj_roofline_fraction, from tools/roofline.py; disable with
+BENCH_ROOFLINE=0).
 """
 
 import json
@@ -22,6 +26,18 @@ import os
 import time
 
 import numpy as np
+
+_FALLBACK_REFERENCE_FPS = 31.71
+
+
+def _reference_fps() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "REFERENCE_BASELINE.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["reference_fps"])
+    except Exception:
+        return _FALLBACK_REFERENCE_FPS
 
 
 def _readback(tree):
@@ -93,6 +109,20 @@ def main():
         best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
     fps = n_iter * n_frames / best
 
+    roofline = {}
+    if os.environ.get("BENCH_ROOFLINE", "1") != "0":
+        try:
+            from tools.roofline import measure as roofline_measure
+
+            r = roofline_measure()
+            roofline = {
+                "jtj_roofline_fraction": round(r["gather_ceiling_fraction"], 3),
+                "try_vel_pass_us": round(r["try_vel_pass_us"], 1),
+            }
+        except Exception as e:  # never fail the bench on the aux metric
+            roofline = {"jtj_roofline_error": str(e)[:120]}
+
+    ref_fps = _reference_fps()
     kmax = config.detector.keylines_max
     print(json.dumps({
         "metric": "vio_frames_per_second_single_chip",
@@ -100,7 +130,9 @@ def main():
         "unit": f"frames/s (752x480 full-res VIO, {profile} profile, "
                 f"{kmax} keylines max, 8-frame scan chunks; "
                 f"BENCH_PROFILE=parity for the reference's 16k setting)",
-        "vs_baseline": round(fps / 20.0, 2),
+        "vs_baseline": round(fps / ref_fps, 2),
+        "reference_fps_measured": ref_fps,
+        **roofline,
     }))
 
 

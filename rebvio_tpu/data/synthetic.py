@@ -115,16 +115,29 @@ def trajectory(t: np.ndarray, speed: float = 0.35, yaw_amp: float = 0.06,
 def render_frame(
     segs: np.ndarray, pos: np.ndarray, R_wc: np.ndarray, cam: CameraConfig,
     bg: float = 25.0, fg: float = 235.0, width: float = 1.4,
+    distort: bool = False,
 ) -> np.ndarray:
     """Render line segments with a soft profile into an [H,W] image.
 
     Points along each visible segment are splatted with a separable soft
     kernel; intensity saturates at ``fg`` where strokes overlap.
+
+    ``distort=True`` renders through the full rad-tan model using the *mean*
+    focal length fm for both axes, producing a physically-distorted image
+    such that the reference's ``cv::undistort`` with its fm-based camera
+    matrix (camera.hpp:39,54-58) — and this repo's equivalent remap
+    (camera.py) — recover exactly the ideal fm-pinhole view.  Samples are
+    taken along the 3-D segment (straight 3-D lines curve in the distorted
+    image).
     """
     H, W = cam.rows, cam.cols
     img = np.full((H, W), bg, np.float32)
     R_cw = R_wc.T
-    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    if distort:
+        fx = fy = cam.fm
+    else:
+        fx, fy = cam.fx, cam.fy
+    cx, cy = cam.cx, cam.cy
     acc_img = np.zeros((H, W), np.float32)
     for a, b in segs:
         pa = R_cw @ (a - pos)
@@ -145,7 +158,17 @@ def render_frame(
             continue
         n_samples = int(min(length * 2.0, 4000))
         ts = np.linspace(0.0, 1.0, n_samples)
-        pts = ua[None, :] + ts[:, None] * (ub - ua)[None, :]
+        if distort:
+            # sample the 3-D segment, project each sample with rad-tan
+            from rebvio_tpu.camera import distort_normalized
+
+            p3 = pa[None, :] + ts[:, None] * (pb - pa)[None, :]
+            xn = p3[:, 0] / p3[:, 2]
+            yn = p3[:, 1] / p3[:, 2]
+            xd, yd = distort_normalized(cam, xn, yn)
+            pts = np.stack([fx * xd + cx, fy * yd + cy], axis=-1)
+        else:
+            pts = ua[None, :] + ts[:, None] * (ub - ua)[None, :]
         inb = (
             (pts[:, 0] > -3) & (pts[:, 0] < W + 3) & (pts[:, 1] > -3) & (pts[:, 1] < H + 3)
         )
@@ -179,24 +202,36 @@ def generate(
     gravity: Tuple[float, float, float] = (0.0, -9.81, 0.0),
     speed: float = 0.35,
     excitation: float = 2.2,
+    distort: bool = False,
+    imu_preroll_s: float = 0.0,
 ) -> Sequence:
     """Full sequence: images at fps, IMU at imu_rate, exact ground truth.
 
     Gravity default (0,-9.81,0): world y is 'up' in the camera's initial
     frame (image y points down), matching the y-ish gravity alignment the
     reference's SAB filter expects.
+
+    ``distort=True`` renders physically-distorted frames (see render_frame)
+    for pipelines that undistort on input.  ``imu_preroll_s`` emits IMU
+    samples starting that long *before* the first frame: the reference's
+    IntegratedImu::get divides by n-1 (imu.hpp:81), so the first frame must
+    drain either 0 or >=2 samples — a preroll guarantees >=2.
     """
     rng = np.random.RandomState(seed)
     segs = make_segments(rng)
     tf = np.arange(n_frames) / fps
     pos, R_wc, vel, acc, _ = trajectory(tf, speed=speed, excitation=excitation)
 
-    images = np.stack([render_frame(segs, pos[i], R_wc[i], cam) for i in range(n_frames)])
+    images = np.stack([
+        render_frame(segs, pos[i], R_wc[i], cam, distort=distort)
+        for i in range(n_frames)
+    ])
     ts_us = (tf * 1e6).astype(np.int64) + 1_000_000
 
     # IMU stream (camera frame == body frame here; the pipeline applies the
     # configured camera->IMU extrinsics, so emit measurements in IMU frame)
-    ti = np.arange(int(n_frames / fps * imu_rate)) / imu_rate
+    n_imu = int((n_frames / fps + imu_preroll_s) * imu_rate)
+    ti = np.arange(n_imu) / imu_rate - imu_preroll_s
     _, R_wc_i, _, acc_i, omega_i = trajectory(ti, speed=speed, excitation=excitation)
     g = np.asarray(gravity)
     R_c2i = cam.R_c2i_np().astype(np.float64)

@@ -1,0 +1,74 @@
+"""Cross-validation against the ACTUAL reference implementation.
+
+Round-1 gap (VERDICT.md): all accuracy claims were anchored to a numpy
+oracle written from the same reading of the reference, which can share a
+misreading.  This test anchors against the real thing: the unmodified C++
+reference (/root/reference/rebvio), built in-container against the TooN/
+spdlog shims in native/reference_anchor/, was run on a deterministic
+synthetic EuRoC-geometry sequence (tools/anchor_data.py: 120 frames,
+752x480, rad-tan distorted, seed 0) and its odometry output committed as
+tests/data/anchor_ref_trajectory_seed0_120.txt — the exact analogue of the
+reference's own golden-trajectory regression fixture
+(ros_rebvio/test/test_ros_rebvio.cpp:37-43), graded by ATE as SURVEY.md
+section 4 prescribes.
+
+To regenerate the golden file:
+    python -m tools.anchor_data /tmp/anchor_data --frames 120
+    make -C native/reference_anchor build/anchor_driver
+    native/reference_anchor/build/anchor_driver /tmp/anchor_data \
+        tests/data/anchor_ref_trajectory_seed0_120.txt
+
+Measured at authoring time (full 120 frames): cross-ATE(sim3) mine-vs-
+reference = 0.025 m over a 2.2 m span, while both track ground truth at
+~0.28 m — the two implementations agree with each other ~10x tighter than
+either tracks the ground truth.  The test runs the first 60 frames
+(measured cross-ATE 0.010 m) to bound suite runtime.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from rebvio_tpu import eval as ev
+from rebvio_tpu.configs import PipelineConfig
+from rebvio_tpu.data import synthetic
+from rebvio_tpu.runner import VioRunner
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data",
+                      "anchor_ref_trajectory_seed0_120.txt")
+N_FRAMES = 60
+
+
+@pytest.fixture(scope="module")
+def anchor_sequence():
+    cfg = PipelineConfig(use_imu=True)
+    # Deterministic prefix of the 120-frame anchor stream: frames are
+    # rendered per-index and the IMU grid only grows with n_frames, so the
+    # 60-frame generation equals the first 60 frames of the dump.
+    return cfg, synthetic.generate(
+        cfg.camera, n_frames=N_FRAMES, seed=0, distort=True,
+        imu_preroll_s=0.1,
+    )
+
+
+def test_matches_real_reference_trajectory(anchor_sequence):
+    cfg, seq = anchor_sequence
+    golden = np.loadtxt(GOLDEN)
+    ref_pos = golden[: N_FRAMES - 1, 4:7]  # reference emits frames 1..N-1
+
+    runner = VioRunner(cfg, undistort=True)
+    res = runner.run(seq, chunk=4)
+    assert res.run_ok.all()
+    mine = res.position[1:N_FRAMES]
+
+    span = float(np.linalg.norm(seq.gt_pos.max(0) - seq.gt_pos.min(0)))
+    cross = ev.ate_rmse(mine, ref_pos, with_scale=True)
+    # measured 0.010 m at authoring time over a ~2.2 m span; 5x headroom
+    assert cross < 0.05, (cross, span)
+
+    # comparative accuracy: no worse than the reference against ground truth
+    gt = seq.gt_pos[1:N_FRAMES]
+    ate_mine = ev.ate_rmse(mine, gt, with_scale=True)
+    ate_ref = ev.ate_rmse(ref_pos, gt, with_scale=True)
+    assert ate_mine < ate_ref + 0.05, (ate_mine, ate_ref)

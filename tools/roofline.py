@@ -40,7 +40,11 @@ def timeit(fn, n=30, repeats=3):
     return best
 
 
-def main():
+def measure() -> dict:
+    """Measure device ceilings + try_vel pass; returns a metrics dict.
+
+    Used by main() for the human report and by bench.py to record the
+    BASELINE.json 'JtJ kernel % of roofline' metric every round."""
     import jax
     import jax.numpy as jnp
 
@@ -70,24 +74,40 @@ def main():
     t_copy = timeit(lambda: copy(big), n=10)
     copy_bw = 2 * NBIG * 4 / t_copy  # read + write
 
-    src = jnp.arange(NBIG // 8, dtype=jnp.float32).reshape(-1, 8) * 0.5
-    ridx = jnp.asarray(
-        np.random.default_rng(0).integers(0, NBIG // 8, K).astype(np.int32)
-    )
+    # Ceiling microbenchmarks shaped like try_vel's two gathers:
+    #   (a) K scalar gathers from an [H*W] field image (large table)
+    #   (b) K 8-lane row gathers from a [K,8] keyline table (small table)
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def base(s):
+        return s[:K].sum()
+
+    field_tbl = jnp.arange(H * W, dtype=jnp.float32)
+    fidx = jnp.asarray(rng.integers(0, H * W, K).astype(np.int32))
+
+    @jax.jit
+    def gather_field(s, i):
+        return s[i].sum()
+
+    t_field = timeit(lambda: gather_field(field_tbl, fidx), n=30)
+    t_base = timeit(lambda: base(field_tbl), n=30)
+    t_field_net = max(t_field - t_base, 1e-9)
+
+    row_tbl = jnp.arange(K * 8, dtype=jnp.float32).reshape(K, 8) * 0.5
+    ridx = jnp.asarray(rng.integers(0, K, K).astype(np.int32))
 
     @jax.jit
     def gather_rows(s, i):
         return s[i].sum()
 
-    t_gather = timeit(lambda: gather_rows(src, ridx), n=30)
-    # subtract the ~dispatch floor measured on a no-gather reduction
-    @jax.jit
-    def base(s):
-        return s[:K].sum()
+    t_rows = timeit(lambda: gather_rows(row_tbl, ridx), n=30)
+    t_rows_net = max(t_rows - t_base, 1e-9)
 
-    t_base = timeit(lambda: base(src), n=30)
-    t_gather_net = max(t_gather - t_base, 1e-9)
-    gather_rate = K / t_gather_net  # rows/s at 8 lanes
+    # steady-state ceiling: the two gather streams pipeline across keylines,
+    # so the slower stream bounds the pass
+    t_ceiling = max(t_field_net, t_rows_net)
+    gather_rate = K / t_ceiling  # keylines/s at the gather ceiling
 
     # --- realistic try_vel pass ---
     seq = synthetic.generate(cam, n_frames=8, seed=0)
@@ -136,15 +156,35 @@ def main():
     ach_gather_rate = n_gathers / t_net
     flops = K * (80 + 32)
 
-    print(f"device dense copy bandwidth     : {copy_bw/1e9:8.1f} GB/s")
-    print(f"device random row-gather rate   : {gather_rate/1e6:8.2f} M rows/s ([{K}] x 8-lane rows)")
-    print(f"try_vel pass (net of dispatch)  : {t_net*1e6:8.1f} us")
-    print(f"  gathers issued                : {n_gathers} ({ach_gather_rate/1e6:.2f} M/s achieved)")
-    print(f"  % of device gather ceiling    : {100.0*ach_gather_rate/(2*gather_rate):8.1f} %"
-          f"   (2 dependent gathers/keyline)")
-    print(f"  streaming bytes               : {stream_bytes/1e6:.2f} MB"
-          f" -> {stream_bytes/t_net/1e9:.1f} GB/s ({100.0*stream_bytes/t_net/copy_bw:.1f}% of copy BW)")
-    print(f"  VPU+MXU flops                 : {flops/1e6:.1f} MFLOP ({flops/t_net/1e12:.3f} TFLOP/s)")
+    return {
+        "keylines_max": K,
+        "copy_bw_gbs": copy_bw / 1e9,
+        "gather_rate_mrows_s": gather_rate / 1e6,
+        "gather_field_us": t_field_net * 1e6,
+        "gather_rows_us": t_rows_net * 1e6,
+        "try_vel_pass_us": t_net * 1e6,
+        "achieved_gather_mrows_s": ach_gather_rate / 1e6,
+        # fraction of the measured gather ceiling (the slower of the two
+        # gather streams, which pipeline across keylines) the pass achieves
+        "gather_ceiling_fraction": t_ceiling / t_net,
+        "stream_gbs": stream_bytes / t_net / 1e9,
+        "stream_bw_fraction": stream_bytes / t_net / copy_bw,
+        "tflops": flops / t_net / 1e12,
+    }
+
+
+def main():
+    m = measure()
+    K = m["keylines_max"]
+    print(f"device dense copy bandwidth     : {m['copy_bw_gbs']:8.1f} GB/s")
+    print(f"gather ceiling (keylines/s)     : {m['gather_rate_mrows_s']:8.2f} M/s"
+          f"  (field gather {m['gather_field_us']:.1f} us, row gather {m['gather_rows_us']:.1f} us per [{K}])")
+    print(f"try_vel pass (net of dispatch)  : {m['try_vel_pass_us']:8.1f} us")
+    print(f"  gathers issued                : {2*K} ({m['achieved_gather_mrows_s']:.2f} M/s achieved)")
+    print(f"  % of device gather ceiling    : {100.0*m['gather_ceiling_fraction']:8.1f} %"
+          f"   (slower of the two gather streams / pass time)")
+    print(f"  streaming                     : {m['stream_gbs']:.1f} GB/s ({100.0*m['stream_bw_fraction']:.1f}% of copy BW)")
+    print(f"  VPU+MXU flops                 : {m['tflops']:.3f} TFLOP/s")
 
 
 if __name__ == "__main__":
