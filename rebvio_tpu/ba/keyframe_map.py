@@ -17,7 +17,7 @@ superseded by this live track-id mechanism.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -103,38 +103,48 @@ class KeyframeMapBuilder:
         """
         if len(self.keyframes) < 2:
             return None
-        count: Dict[int, int] = {}
-        for kf in self.keyframes:
-            for tr in kf.obs_tracks:
-                count[tr] = count.get(tr, 0) + 1
-        tracks = sorted(t for t, c in count.items() if c >= min_obs)
-        if not tracks:
-            return None
-        lid = {t: i for i, t in enumerate(tracks)}
-        L = len(tracks)
-        F = len(self.keyframes)
+        # Flatten all observations in (keyframe, slot) order, then group by
+        # track with numpy (vectorized: the per-obs Python loop here was
+        # flagged in round 1 as a scaling hazard for multi-sequence configs).
+        tr_all = np.concatenate([kf.obs_tracks for kf in self.keyframes])
+        f_all = np.concatenate([
+            np.full(len(kf.obs_tracks), f, np.int32)
+            for f, kf in enumerate(self.keyframes)
+        ])
+        uv_all = np.concatenate([kf.obs_uv for kf in self.keyframes])
+        rho_all = np.concatenate([kf.obs_rho for kf in self.keyframes])
 
-        anchor_kf = np.zeros(L, np.int32)
-        anchor_ray = np.zeros((L, 3), np.float32)
-        rho0 = np.zeros(L, np.float32)
-        seen = np.zeros(L, bool)
-        obs_lm, obs_kf, obs_uv = [], [], []
-        for f, kf in enumerate(self.keyframes):
-            for m in range(len(kf.obs_tracks)):
-                t = kf.obs_tracks[m]
-                if t not in lid:
-                    continue
-                l = lid[t]
-                if not seen[l]:
-                    seen[l] = True
-                    anchor_kf[l] = f
-                    anchor_ray[l] = [kf.obs_uv[m][0], kf.obs_uv[m][1], 1.0]
-                    rho0[l] = np.clip(kf.obs_rho[m], 1e-3, 1e3)
-                else:
-                    obs_lm.append(l)
-                    obs_kf.append(f)
-                    obs_uv.append(kf.obs_uv[m])
+        tracks, first_idx, inv, counts = np.unique(
+            tr_all, return_index=True, return_inverse=True, return_counts=True
+        )
+        keep_track = counts >= min_obs  # tracks sorted ascending, as before
+        if not keep_track.any():
+            return None
+        # landmark id per kept track; -1 for dropped tracks
+        lid_of_track = np.cumsum(keep_track) - 1
+        lid_of_track[~keep_track] = -1
+        L = int(keep_track.sum())
+
+        # anchor = first observation of each kept track in flat order
+        # (np.unique's return_index is the first occurrence)
+        a_idx = first_idx[keep_track]
+        anchor_kf = f_all[a_idx].astype(np.int32)
+        anchor_ray = np.concatenate(
+            [uv_all[a_idx], np.ones((L, 1), uv_all.dtype)], axis=-1
+        ).astype(np.float32)
+        rho0 = np.clip(rho_all[a_idx], 1e-3, 1e3).astype(np.float32)
+        seen = np.ones(L, bool)
+
+        # remaining observations: kept tracks, excluding each one's anchor
+        lm_flat = lid_of_track[inv]
+        is_anchor = np.zeros(len(tr_all), bool)
+        is_anchor[a_idx] = True
+        sel = (lm_flat >= 0) & ~is_anchor
+        obs_lm = lm_flat[sel].astype(np.int32)
+        obs_kf = f_all[sel]
+        obs_uv = uv_all[sel]
         O = max(len(obs_lm), 1)
+        obs_lm, obs_kf, obs_uv = list(obs_lm), list(obs_kf), list(obs_uv)
         fm = self.config.camera.fm
         return bap.BAProblem(
             R=jnp.asarray(np.stack([k.R_wc for k in self.keyframes]), jnp.float32),

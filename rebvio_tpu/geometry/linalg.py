@@ -57,9 +57,17 @@ def sym_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     on well-conditioned Gauss-Newton systems (core.cpp:247,
     sab_estimator.cpp:31): XLA's iterative SVD costs ~1 ms per 7x7 on TPU,
     while an LU solve is microseconds; for PD inputs the results coincide.
-    Singular inputs are mapped to a zero solution, matching TooN SVD
-    backsubstitution's behavior of zeroing singular directions (e.g. the
-    zero-matches case, where the reference returns X = 0 rather than NaN).
+
+    NaN semantics match the reference exactly:
+      * *finite but singular* input (e.g. the zero-matches case, JtJ = 0):
+        TooN's SVD backsub zeroes the singular directions, so X = 0 — the
+        LU solve's inf/NaN is mapped to zero;
+      * *non-finite* input (NaN keyline data contaminating JtJ/JtF): TooN
+        propagates NaN, the caller's isnan(V) gate latches the failure
+        (core.cpp:251-257, rebvio.cpp:236-241) — NaN is propagated here
+        too so the pipeline's fail_nan gate fires the same frame.
     """
     x = jnp.linalg.solve(A, b)
-    return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+    inputs_finite = jnp.all(jnp.isfinite(A)) & jnp.all(jnp.isfinite(b))
+    singular = inputs_finite & ~jnp.all(jnp.isfinite(x))
+    return jnp.where(singular, jnp.zeros_like(x), x)
