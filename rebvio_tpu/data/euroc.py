@@ -98,14 +98,38 @@ class EurocSequence:
     imu_acc: np.ndarray
     gt_ts_us: Optional[np.ndarray] = None
     gt_pos: Optional[np.ndarray] = None
+    # "native": threaded C++ prefetch ring (native/loader.cpp); "python":
+    # in-process decoder; "auto": native when the library is built.
+    loader: str = "auto"
+    rows: int = 480
+    cols: int = 752
 
     def __len__(self):
         return len(self.image_paths)
 
     @property
     def images(self):
-        """Lazy image iterator compatible with VioRunner.run (indexable)."""
-        return _LazyImages(self.image_paths)
+        """Image accessor compatible with VioRunner.run (indexable).
+
+        The product path (the reference's acquisition thread, rebvio.cpp:56-90)
+        streams through the native prefetcher: decode threads run ahead of the
+        device loop so input never serializes with compute.  Access must then
+        be sequential from 0 — exactly VioRunner's pattern.  The pure-python
+        decoder remains the random-access fallback.  Memoized so repeated
+        property reads share one prefetch ring.
+        """
+        cached = getattr(self, "_images_cache", None)
+        if cached is not None:
+            return cached
+        use_native = self.loader == "native"
+        if self.loader == "auto":
+            from rebvio_tpu.data import native_loader
+
+            use_native = native_loader.available()
+        obj = (_NativeSeqImages(self.image_paths, self.rows, self.cols)
+               if use_native else _LazyImages(self.image_paths))
+        self._images_cache = obj
+        return obj
 
 
 class _LazyImages:
@@ -119,9 +143,52 @@ class _LazyImages:
         return _read_png_gray(self.paths[i]).astype(np.float32)
 
 
-def load(root: str, start_s: Optional[float] = None, end_s: Optional[float] = None) -> EurocSequence:
+class _NativeSeqImages:
+    """Sequential view over the native prefetching loader.
+
+    Supports strictly in-order indexing (what VioRunner does); a restart from
+    index 0 reopens the ring.  The ring decodes `n_threads` PNGs ahead of the
+    consumer, replacing the reference's data-acquisition thread + mutex queue
+    (rebvio.cpp:56-90) at full speed.
+    """
+
+    def __init__(self, paths, rows, cols, n_threads: int = 3, ring: int = 8):
+        from rebvio_tpu.data import native_loader
+
+        self.paths = paths
+        self._make = lambda: native_loader.NativeImageLoader(
+            paths, rows, cols, n_threads=n_threads, ring=ring, gain=1.0)
+        self._ldr = None
+        self._next_i = 0
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        if i == 0 and self._next_i != 0:
+            if self._ldr is not None:
+                self._ldr.close()
+            self._ldr, self._next_i = None, 0
+        if i != self._next_i:
+            # out-of-order access: fall back to the python decoder
+            return _read_png_gray(self.paths[i]).astype(np.float32)
+        if self._ldr is None:
+            self._ldr = self._make()
+        self._next_i += 1
+        f = self._ldr.next()
+        if f is None:
+            raise IndexError(i)
+        return f
+
+
+def load(root: str, start_s: Optional[float] = None, end_s: Optional[float] = None,
+         loader: str = "auto", rows: int = 480, cols: int = 752) -> EurocSequence:
     """Load an ASL-format sequence; timestamps converted ns -> us (the
-    reference also operates in us, image.hpp:19-22)."""
+    reference also operates in us, image.hpp:19-22).
+
+    ``loader``: "native" (threaded C++ prefetch ring), "python", or "auto"
+    (native when built — the product default; the python decoder would cap a
+    ~200 fps pipeline at a few fps of input)."""
     mav = os.path.join(root, "mav0")
     cam_csv = os.path.join(mav, "cam0", "data.csv")
     imu_csv = os.path.join(mav, "imu0", "data.csv")
@@ -174,4 +241,5 @@ def load(root: str, start_s: Optional[float] = None, end_s: Optional[float] = No
         image_paths=img_paths, ts_us=img_ts,
         imu_ts_us=imu_ts, imu_gyro=gyro, imu_acc=acc,
         gt_ts_us=gt_ts, gt_pos=gt_pos,
+        loader=loader, rows=rows, cols=cols,
     )

@@ -70,25 +70,23 @@ def field_id(field: jnp.ndarray, kmax: int) -> jnp.ndarray:
     return jnp.where(field < 0, -1, kmax - 1 - (field % kmax))
 
 
-@partial(jax.jit, static_argnames=("search_range", "rows", "cols", "scale"))
-def build_nn_field(
-    em: T.EdgeMap, search_range: int, rows: int, cols: int, scale: int = 1
-) -> jnp.ndarray:
-    """Dense nearest-keyline id field via jump flooding (JFA).
+# Lane layout of the attribute field rows (build_att_field)
+ATT_PACKED, ATT_D2, ATT_ID, ATT_GX, ATT_GY, ATT_GN, ATT_POSX, ATT_POSY = range(8)
 
-    TPU-first alternative to the rasterized auxiliary field (core.hpp:37-59):
-    instead of 16k x 80 scattered writes, O(log R) dense passes of statically
-    shifted compare/selects produce, for every pixel, the id of the nearest
-    keyline (subpixel position metric) within ``search_range``.  The
-    reference's field approximates exactly this nearest-edge lookup but only
-    rasterizes along each keyline's gradient ray; the JFA field covers all
-    directions, so the tracker finds at least as many candidates (the
-    gradient-similarity gate in calculatefJ, core.cpp:56, still applies).
 
-    Returns an [ceil(rows/scale)*ceil(cols/scale)] int32 id image (-1 = no
-    keyline within range).  ``scale`` > 1 builds the field on a decimated
-    grid (coordinates and search_range in scaled units): 1/scale^2 the
-    traffic; consumers index it with pixel//scale.
+def _jfa_state(
+    em: T.EdgeMap, search_range: int, rows: int, cols: int, scale: int,
+    payload: list,
+):
+    """Shared jump-flood core.
+
+    Runs the JFA over a [2 + P, rows/scale, cols/scale] plane stack —
+    plane 0: seed coordinates as packed fixed-point (one f32, exact),
+    plane 1: best squared distance, planes 2..: per-keyline payload values
+    (id, and optionally the keyline's static attributes) that ride along
+    with the winning seed.  Each propagation pass is a SINGLE jnp.roll of
+    the whole stack + one compare/select: the loop is op-latency-bound, so
+    plane count is nearly free while op count is not.
     """
     kmax = em.kmax
     use = em.valid & ((em.threshold <= 0.0) | (em.grad_norm >= em.threshold))
@@ -106,27 +104,53 @@ def build_nn_field(
     flat = jnp.where(inb, row * cols + col, rows * cols)
 
     BIG = jnp.float32(1e9)
-    # one packed row scatter for the three seed planes (id as exact f32)
-    seed_rows = jnp.stack(
-        [jnp.arange(kmax, dtype=jnp.float32), pos_y, pos_x], axis=-1
+
+    # Seed coordinates live in ONE f32 plane as exact fixed-point integers:
+    # q steps per (scaled) pixel, packed as qy * QXP + qx with QXP a power of
+    # two, so each propagation pass is a SINGLE jnp.roll of the plane stack +
+    # compare + select instead of per-coordinate rolls and selects — the loop
+    # is op-latency-bound, not bandwidth-bound.  Quantization (<= 1/(2q) px,
+    # q >= 4) only perturbs which nearly-equidistant keyline is *proposed*;
+    # every consumer re-gates with the exact keyline fields.
+    q = 4
+    while ((rows + 2) * 2 * q) * _next_pow2((cols + 2) * 2 * q) <= (1 << 24):
+        q *= 2
+    QXP = _next_pow2((cols + 2) * q)
+
+    def quantize(p_f, p_i):
+        # no clamp needed: the id rides as its own payload plane, so the
+        # seed pixel never has to be recovered from the coords — rounding
+        # error is <= 1/(2q) px
+        off = jnp.round((p_f - p_i.astype(jnp.float32)) * q)
+        return (p_i + 1).astype(jnp.float32) * q + off
+
+    qy = quantize(pos_y, row)
+    qx = quantize(pos_x, col)
+    packed = qy * QXP + qx  # exact: < 2^24
+
+    P = len(payload)
+    seed_rows = jnp.stack([packed, jnp.zeros((kmax,), jnp.float32)] + payload,
+                          axis=-1)  # [K, 2+P]
+    init = jnp.concatenate(
+        [jnp.zeros((rows * cols, 1), jnp.float32),      # packed 0 = empty
+         jnp.full((rows * cols, 1), BIG, jnp.float32),   # d2
+         jnp.full((rows * cols, P), -1.0, jnp.float32)], axis=-1,
     )
-    init = jnp.stack(
-        [jnp.full((rows * cols,), -1.0, jnp.float32),
-         jnp.full((rows * cols,), BIG, jnp.float32),
-         jnp.full((rows * cols,), BIG, jnp.float32)], axis=-1,
-    )
-    planes = init.at[flat].set(seed_rows, mode="drop")
-    sid = planes[:, 0].astype(jnp.int32).reshape(rows, cols)
-    sy = planes[:, 1].reshape(rows, cols)
-    sx = planes[:, 2].reshape(rows, cols)
+    planes0 = init.at[flat].set(seed_rows, mode="drop")
 
     yy = jnp.arange(rows, dtype=jnp.float32)[:, None]
     xx = jnp.arange(cols, dtype=jnp.float32)[None, :]
 
-    def d2_of(sy_, sx_):
+    def d2_of(packed_):
+        qy_ = jnp.floor(packed_ * (1.0 / QXP))  # exact: QXP is a power of two
+        qx_ = packed_ - qy_ * QXP
+        sy_ = qy_ * (1.0 / q) - 1.0
+        sx_ = qx_ * (1.0 / q) - 1.0
         return (yy - sy_) ** 2 + (xx - sx_) ** 2
 
-    best_d2 = jnp.where(sid >= 0, d2_of(sy, sx), BIG)
+    state = planes0.T.reshape(2 + P, rows, cols)
+    pk = state[0]
+    state = state.at[1].set(jnp.where(pk > 0, d2_of(pk), BIG))
 
     steps = []
     s = 1
@@ -155,24 +179,78 @@ def build_nn_field(
     dys = jnp.asarray([d[0] for d in sched], jnp.int32)
     dxs = jnp.asarray([d[1] for d in sched], jnp.int32)
 
-    def body(i, carry):
-        sid, sy, sx, best_d2 = carry
-        dy, dx = dys[i], dxs[i]
-        cid = jnp.roll(sid, (dy, dx), (0, 1))
-        csy = jnp.roll(sy, (dy, dx), (0, 1))
-        csx = jnp.roll(sx, (dy, dx), (0, 1))
-        cd2 = jnp.where(cid >= 0, d2_of(csy, csx), BIG)
-        better = cd2 < best_d2
-        return (
-            jnp.where(better, cid, sid),
-            jnp.where(better, csy, sy),
-            jnp.where(better, csx, sx),
-            jnp.where(better, cd2, best_d2),
-        )
+    def body(i, st):
+        cand = jnp.roll(st, (dys[i], dxs[i]), (1, 2))
+        cpk = cand[0]
+        cd2 = jnp.where(cpk > 0, d2_of(cpk), BIG)
+        better = cd2 < st[1]
+        cand = cand.at[1].set(cd2)
+        return jnp.where(better[None], cand, st)
 
-    sid, sy, sx, best_d2 = jax.lax.fori_loop(
-        0, len(sched), body, (sid, sy, sx, best_d2)
-    )
+    state = jax.lax.fori_loop(0, len(sched), body, state)
+    return state
 
-    sid = jnp.where(best_d2 <= jnp.float32(search_range * search_range), sid, -1)
+
+@partial(jax.jit, static_argnames=("search_range", "rows", "cols", "scale"))
+def build_nn_field(
+    em: T.EdgeMap, search_range: int, rows: int, cols: int, scale: int = 1
+) -> jnp.ndarray:
+    """Dense nearest-keyline id field via jump flooding (JFA).
+
+    TPU-first alternative to the rasterized auxiliary field (core.hpp:37-59):
+    instead of 16k x 80 scattered writes, O(log R) dense passes of statically
+    shifted compare/selects produce, for every pixel, the id of the nearest
+    keyline within ``search_range``.  The reference's field approximates
+    exactly this nearest-edge lookup but only rasterizes along each keyline's
+    gradient ray; the JFA field covers all directions, so the tracker finds
+    at least as many candidates (the gradient-similarity gate in calculatefJ,
+    core.cpp:56, still applies).
+
+    Returns an [ceil(rows/scale)*ceil(cols/scale)] int32 id image (-1 = no
+    keyline within range).  ``scale`` > 1 builds the field on a decimated
+    grid (coordinates and search_range in scaled units): 1/scale^2 the
+    traffic; consumers index it with pixel//scale.
+    """
+    sr = search_range if scale == 1 else max(1, round(search_range / scale))
+    payload = [jnp.arange(em.kmax, dtype=jnp.float32)]
+    state = _jfa_state(em, search_range, rows, cols, scale, payload)
+    sid = jnp.where(state[1] <= jnp.float32(sr * sr),
+                    state[2].astype(jnp.int32), -1)
     return sid.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("search_range", "rows", "cols", "scale"))
+def build_att_field(
+    em: T.EdgeMap, search_range: int, rows: int, cols: int, scale: int = 1
+) -> jnp.ndarray:
+    """Dense nearest-keyline ATTRIBUTE field: [N, 8] rows of
+    (packed, d2, id, grad_x, grad_y, grad_norm, pos_x, pos_y).
+
+    Same jump flood as build_nn_field, but the winning seed carries the
+    keyline's detection-time attributes as payload planes, so a consumer
+    resolves candidate id + gates + residual geometry with ONE row gather
+    instead of the two chained gathers (id image, then keyline table) —
+    halving the data-dependent latency chain of every tryVel pass
+    (core.cpp:78-148) and the tube matcher's probe loop.  Attributes are
+    detection-time constants (grad/pos never change; consumers needing
+    rotated values replay the rotation analytically).  id lane is -1 outside
+    ``search_range``.
+    """
+    sr = search_range if scale == 1 else max(1, round(search_range / scale))
+    payload = [
+        jnp.arange(em.kmax, dtype=jnp.float32),
+        em.grad[:, 0], em.grad[:, 1], em.grad_norm,
+        em.pos[:, 0], em.pos[:, 1],
+    ]
+    state = _jfa_state(em, search_range, rows, cols, scale, payload)
+    in_range = state[1] <= jnp.float32(sr * sr)
+    state = state.at[2].set(jnp.where(in_range, state[2], -1.0))
+    n = state.shape[1] * state.shape[2]
+    return state.reshape(8, n).T
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p

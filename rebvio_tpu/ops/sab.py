@@ -31,6 +31,20 @@ class SabProblem(NamedTuple):
     Rv: jnp.ndarray    # [3,3] visual acceleration noise
     Rs: jnp.ndarray    # [3,3] accelerometer noise
     Rg: jnp.ndarray    # [] gravity-norm noise
+    W_rest: jnp.ndarray = None  # [8,11] bottom block of the residual weight
+                                # matrix (1/Rg row + W_pp block): constant
+                                # across GN iterations, hoisted out of the
+                                # per-iteration assembly (the 20-iteration
+                                # loop is op-latency-bound)
+
+
+def _w_rest(p: SabProblem) -> jnp.ndarray:
+    r1 = jnp.concatenate(
+        [jnp.zeros((1, 3), jnp.float32), (1.0 / p.Rg)[None, None],
+         jnp.zeros((1, 7), jnp.float32)], axis=1,
+    )
+    r2 = jnp.concatenate([jnp.zeros((7, 4), jnp.float32), p.W_pp], axis=1)
+    return jnp.concatenate([r1, r2])
 
 
 def sab_problem(p: SabProblem, X: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -79,19 +93,12 @@ def sab_problem(p: SabProblem, X: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
         jnp.concatenate([z33, eye3], axis=1),
     ])
 
-    def blockdiag11(B0, s3, B4):
-        z38 = jnp.zeros((3, 8), jnp.float32)
-        r0 = jnp.concatenate([B0, z38], axis=1)
-        r1 = jnp.concatenate(
-            [jnp.zeros((1, 3), jnp.float32), s3[None, None], jnp.zeros((1, 7), jnp.float32)],
-            axis=1,
-        )
-        r2 = jnp.concatenate([jnp.zeros((7, 4), jnp.float32), B4], axis=1)
-        return jnp.concatenate([r0, r1, r2])
-
     Pz = sa * sa * p.Rv + ca * ca * p.Rs
     W0 = linalg.invert3(Pz)  # symmetric 3x3: closed form
-    W = blockdiag11(W0, 1.0 / p.Rg, p.W_pp)
+    rest = p.W_rest if p.W_rest is not None else _w_rest(p)
+    W = jnp.concatenate(
+        [jnp.concatenate([W0, jnp.zeros((3, 8), jnp.float32)], axis=1), rest]
+    )
 
     # dW/da and dW@P@dW are nonzero only in the leading 3x3 block
     dP0 = 2.0 * sa * ca * (p.Rv - p.Rs)
@@ -189,6 +196,7 @@ def estimate_bias(
     W_pp = linalg.chol_inverse(Pp)
     prob = SabProblem(a_v=a_v, a_s=a_s, G=g_gravit, x_p=X, Pp=Pp, W_pp=W_pp,
                       Rv=Rv, Rs=Rs, Rg=Rg)
+    prob = prob._replace(W_rest=_w_rest(prob))
     X = sab_gauss_newton(prob, X, iters)
     JtJ, _ = sab_problem(prob, X)
     P = linalg.chol_inverse(JtJ)

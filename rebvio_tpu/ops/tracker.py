@@ -56,20 +56,28 @@ def try_vel(
     new_pack: jnp.ndarray = None,
     field_f: jnp.ndarray = None,
     field_scale: int = 1,
+    att_f: jnp.ndarray = None,
 ) -> TryVelOut:
     """One residual/Jacobian pass of the translation tracker (core.cpp:78-148).
 
     ``old`` is the (gyro-rotated) previous map being tracked; ``new`` is the
     map the distance field was built from (its keylines supply the matched
     gradient/position via ``calculatefJ``, core.cpp:46-76).
+
+    Two lookup paths: with ``att_f`` (the [N,8] nearest-keyline ATTRIBUTE
+    field, distance_field.build_att_field) the candidate id, gradient and
+    position resolve in ONE row gather; otherwise the id field + keyline
+    table are two chained gathers.  The pass is latency-bound on that chain
+    (measured: 48 us throughput vs ~175 us effective latency per pass), so
+    halving the chain is the dominant win for minimizeVel.
     """
     kmax = old.kmax
     H, W = new.kl_id_img.shape
     fm = cam.fm
     R = cfg.search_range
-    if new_pack is None:
+    if att_f is None and new_pack is None:
         new_pack = pack_target_fields(new)
-    if field_f is None:
+    if att_f is None and field_f is None:
         field_f = field_ids.astype(jnp.float32)
 
     # Participation gate (core.cpp:88-91); min_match_threshold is 0 in the
@@ -100,21 +108,34 @@ def try_vel(
         fidx = (ys // field_scale) * Wf + (xs // field_scale)
     else:
         fidx = ys * W + xs
-    # field ids gathered as exact f32 (int32 gathers hit a slow path)
-    fid = jnp.where(
-        lookup_ok, field_f[fidx].astype(jnp.int32), -1
-    )
-    has_df = fid >= 0
-    # clip against the TARGET map's size (differs from old.kmax when the old
-    # map's keyline axis is sharded across devices, parallel/keyline_shard.py)
-    fs = jnp.clip(fid, 0, new_pack.shape[0] - 1)
+    if att_f is not None:
+        # single-gather path: one [K,8] attribute row per keyline
+        from rebvio_tpu.ops.distance_field import (
+            ATT_GN, ATT_GX, ATT_ID, ATT_POSX,
+        )
+
+        row8 = att_f[fidx]
+        fid = jnp.where(lookup_ok, row8[:, ATT_ID].astype(jnp.int32), -1)
+        has_df = fid >= 0
+        gN = row8[:, ATT_GX:ATT_GX + 2]
+        gnN = row8[:, ATT_GN]
+        posN = row8[:, ATT_POSX:ATT_POSX + 2]
+    else:
+        # field ids gathered as exact f32 (int32 gathers hit a slow path)
+        fid = jnp.where(
+            lookup_ok, field_f[fidx].astype(jnp.int32), -1
+        )
+        has_df = fid >= 0
+        # clip against the TARGET map's size (differs from old.kmax when the
+        # old map's keyline axis is sharded, parallel/keyline_shard.py)
+        fs = jnp.clip(fid, 0, new_pack.shape[0] - 1)
+        row = new_pack[fs]  # [K,8] single slice-gather
+        gN = row[:, 0:2]
+        gnN = row[:, 2]
+        posN = row[:, 3:5]
 
     # gradient similarity test (testfk, core.cpp:39-44):
     # |g_new . g_old - |g_new|^2| <= thr * |g_new|^2  (norm from new keyline)
-    row = new_pack[fs]  # [K,8] single slice-gather
-    gN = row[:, 0:2]
-    gnN = row[:, 2]
-    posN = row[:, 3:5]
     dot = gN[:, 0] * old.grad[:, 0] + gN[:, 1] * old.grad[:, 1]
     n2 = gnN * gnN
     sim_ok = jnp.abs(dot - n2) <= cfg.match_threshold * n2
@@ -158,7 +179,7 @@ def try_vel(
     return TryVelOut(score, JtJ, JtF, new_res, mif)
 
 
-@partial(jax.jit, static_argnames=("cfg", "cam", "field_scale"))
+@partial(jax.jit, static_argnames=("cfg", "cam", "field_scale", "use_att"))
 def minimize_vel(
     old: T.EdgeMap,
     new: T.EdgeMap,
@@ -167,19 +188,25 @@ def minimize_vel(
     cfg: CoreConfig,
     cam: CameraConfig,
     field_scale: int = 1,
+    use_att: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, T.EdgeMap, jnp.ndarray]:
     """Levenberg-Marquardt translation estimation (core.cpp:150-189).
 
     Returns (vel, Rvel, old_map_with_forward_matches, score).  The forward
     matches / residuals reflect the *last* tryVel evaluation whether or not
     it was accepted, matching the reference's in-place updates.
+
+    With ``use_att``, ``field_ids`` is the [N,8] attribute field of the new
+    map (single-gather tryVel path); otherwise the [N] id field.
     """
     sigma_rho_min = estimate_quantile(old, cfg.quantile_cutoff, cfg.quantile_num_bins)
     residuals = jnp.zeros((old.kmax,), jnp.float32)
-    new_pack = pack_target_fields(new)
-    field_f = field_ids.astype(jnp.float32)
+    if use_att:
+        att_f, new_pack, field_f = field_ids, None, None
+    else:
+        att_f, new_pack, field_f = None, pack_target_fields(new), field_ids.astype(jnp.float32)
 
-    out = try_vel(old, new, field_ids, vel0, sigma_rho_min, residuals, cfg, cam, new_pack, field_f, field_scale)
+    out = try_vel(old, new, field_ids, vel0, sigma_rho_min, residuals, cfg, cam, new_pack, field_f, field_scale, att_f)
     F, JtJ, JtF, residuals, mif = out
     vel = vel0
     u = 1e-3 * jnp.max(JtJ)
@@ -190,7 +217,7 @@ def minimize_vel(
         ApI = JtJ + jnp.eye(3, dtype=jnp.float32) * u
         h = linalg.invert3(ApI) @ (-JtF)
         vel_new = vel + h
-        o2 = try_vel(old, new, field_ids, vel_new, sigma_rho_min, residuals, cfg, cam, new_pack, field_f, field_scale)
+        o2 = try_vel(old, new, field_ids, vel_new, sigma_rho_min, residuals, cfg, cam, new_pack, field_f, field_scale, att_f)
         residuals, mif = o2.residuals, o2.match_id_forward
         gain = (F - o2.score) / (0.5 * jnp.dot(h, u * h - JtF))
         accept = gain > 0.0
@@ -206,6 +233,9 @@ def minimize_vel(
         v = jnp.where(accept, 2.0, v * 2.0)
         return (vel, F, JtJ, JtF, u, v, residuals, mif)
 
+    # (Measured: statically unrolling this loop changes nothing — the cost is
+    # the latency of the data-dependent gather chain inside try_vel, not the
+    # loop boundary.)
     vel, F, JtJ, JtF, u, v, residuals, mif = jax.lax.fori_loop(
         0, cfg.iterations, lm_iter, (vel, F, JtJ, JtF, u, v, residuals, mif)
     )

@@ -64,11 +64,13 @@ def detect_frame(state: T.VioState, frame: jnp.ndarray, mats: FrontendMatrices,
     new_map = edge_detect.detect(frame, threshold, mats, config.detector, config.camera,
                                  field_scale=config.field_scale)
     if config.df_mode == "jfa":
-        nn = DF.build_nn_field(
+        att = DF.build_att_field(
             new_map, int(config.core.search_range), config.camera.rows,
             config.camera.cols, config.field_scale,
         )
-        new_map = new_map.replace(nn_id_img=nn)
+        # id field = the id lane of the attribute field (one elementwise pass)
+        nn = att[:, DF.ATT_ID].astype(jnp.int32)
+        new_map = new_map.replace(nn_id_img=nn, att_img=att)
     return new_map, threshold
 
 
@@ -92,7 +94,7 @@ def estimate(
 
     # --- distance field from the new map (rebvio.cpp:142) ---
     if config.df_mode == "jfa":
-        field_ids = new_map.nn_id_img  # built in detect_frame
+        field_ids = new_map.att_img  # attribute field, built in detect_frame
         field_scale = config.field_scale
     else:
         assert config.field_scale == 1, "raster field requires field_scale=1"
@@ -140,7 +142,8 @@ def estimate(
     # --- translation-only LM against the distance field (rebvio.cpp:169) ---
     Vg = jnp.zeros(3, jnp.float32)
     Vg, P_Vg, old_map, _score = tracker.minimize_vel(
-        old_map, new_map, field_ids, Vg, core_cfg, cam, field_scale
+        old_map, new_map, field_ids, Vg, core_cfg, cam, field_scale,
+        use_att=(config.df_mode == "jfa"),
     )
 
     # --- forward matching into the new map (rebvio.cpp:172) ---
@@ -343,12 +346,14 @@ def step_chunk_pipelined(
     )
 
     def detect_one(fr):
-        m = edge_detect.detect(fr, threshold, mats, config.detector, config.camera)
+        m = edge_detect.detect(fr, threshold, mats, config.detector, config.camera,
+                               field_scale=config.field_scale)
         if config.df_mode == "jfa":
-            nn = DF.build_nn_field(
-                m, int(config.core.search_range), config.camera.rows, config.camera.cols
+            att = DF.build_att_field(
+                m, int(config.core.search_range), config.camera.rows,
+                config.camera.cols, config.field_scale,
             )
-            m = m.replace(nn_id_img=nn)
+            m = m.replace(nn_id_img=att[:, DF.ATT_ID].astype(jnp.int32), att_img=att)
         return m
 
     maps = jax.vmap(detect_one)(frames)

@@ -63,6 +63,11 @@ def main(argv=None):
     ap.add_argument("--df-mode", choices=["jfa", "raster"], default=None,
                     help="auxiliary field: jump-flood NN (default) or the "
                          "reference's rasterized scatter")
+    ap.add_argument("--loader", choices=["auto", "native", "python"], default="auto",
+                    help="euroc image decode: native = threaded C++ prefetch "
+                         "ring (the reference's acquisition thread, built via "
+                         "make -C native), python = in-process fallback, "
+                         "auto = native when built")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -112,7 +117,8 @@ def main(argv=None):
 
         if not args.root:
             ap.error("--root required for euroc")
-        seq = euroc.load(args.root, args.start, args.end)
+        seq = euroc.load(args.root, args.start, args.end, loader=args.loader,
+                         rows=cam.rows, cols=cam.cols)
         undistort = True
         gt = None
 

@@ -54,6 +54,9 @@ class EdgeMap(struct.PyTreeNode):
     kl_id_img: jnp.ndarray      # [H,W] int32 keyline id per pixel (-1 = none)
     nn_id_img: jnp.ndarray      # [H*W] int32 nearest-keyline id (JFA field;
                                 # filled by the pipeline when df_mode="jfa")
+    att_img: jnp.ndarray        # [H*W,8] f32 nearest-keyline attribute field
+                                # (distance_field.build_att_field lanes; the
+                                # tracker's single-gather fast path)
     threshold: jnp.ndarray      # [] f32 detection threshold of this map
 
     @property
@@ -77,6 +80,7 @@ def empty_edge_map(kmax: int, rows: int, cols: int, field_scale: int = 1) -> Edg
         valid=jnp.zeros((kmax,), bool), count=jnp.zeros((), jnp.int32),
         kl_id_img=jnp.full((rows, cols), -1, jnp.int32),
         nn_id_img=jnp.full((fr * fc,), -1, jnp.int32),
+        att_img=jnp.full((fr * fc, 8), -1.0, jnp.float32),
         threshold=jnp.full((), -1.0, jnp.float32),
     )
 

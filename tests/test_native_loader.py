@@ -71,3 +71,52 @@ def test_native_loader_matches_python_decoder(tmp_path):
     np.testing.assert_array_equal(got_py, img)
     ld = native_loader.NativeImageLoader([p], H, W, gain=1.0)
     np.testing.assert_allclose(ld.next(), img.astype(np.float32))
+
+
+@pytest.mark.skipif(not native_loader.available(), reason="native lib not built")
+def test_euroc_dataset_streams_through_native_loader(tmp_path):
+    """Product-path integration (VERDICT.md round-1 item 5): euroc.load ->
+    VioRunner.run streams frames through the C++ prefetch ring, and produces
+    exactly the same trajectory as the pure-python decoder path."""
+    from rebvio_tpu.configs import (
+        CameraConfig, CoreConfig, EdgeDetectorConfig, PipelineConfig,
+    )
+    from rebvio_tpu.data import euroc, synthetic
+    from rebvio_tpu.runner import VioRunner
+
+    cam = CameraConfig(rows=120, cols=188, fx=114.6, fy=114.3, cx=91.8, cy=62.1,
+                       k1=0, k2=0, k3=0, p1=0, p2=0)
+    det = EdgeDetectorConfig(keylines_max=2048, keylines_ref=1200)
+    core = CoreConfig(search_range=10, global_min_matches_threshold=100)
+    cfg = PipelineConfig(camera=cam, detector=det, core=core, use_imu=True)
+
+    # render a tiny sequence and write it as an ASL-format directory tree
+    seq = synthetic.generate(cam, n_frames=8, seed=0)
+    data_dir = tmp_path / "mav0" / "cam0" / "data"
+    data_dir.mkdir(parents=True)
+    with open(tmp_path / "mav0" / "cam0" / "data.csv", "w") as f:
+        f.write("#ts,filename\n")
+        for i in range(8):
+            name = f"{int(seq.ts_us[i]) * 1000}.png"
+            _write_png_gray(str(data_dir / name),
+                            seq.images[i].astype(np.uint8), filt=(i % 2) * 2)
+            f.write(f"{int(seq.ts_us[i]) * 1000},{name}\n")
+    imu_dir = tmp_path / "mav0" / "imu0"
+    imu_dir.mkdir(parents=True)
+    with open(imu_dir / "data.csv", "w") as f:
+        f.write("#ts,gx,gy,gz,ax,ay,az\n")
+        for k in range(len(seq.imu_ts_us)):
+            g, a = seq.imu_gyro[k], seq.imu_acc[k]
+            f.write(f"{int(seq.imu_ts_us[k]) * 1000},{g[0]},{g[1]},{g[2]},"
+                    f"{a[0]},{a[1]},{a[2]}\n")
+
+    ds_native = euroc.load(str(tmp_path), loader="native", rows=cam.rows, cols=cam.cols)
+    assert isinstance(ds_native.images, euroc._NativeSeqImages)
+    res_n = VioRunner(cfg, undistort=False).run(ds_native)
+
+    ds_py = euroc.load(str(tmp_path), loader="python", rows=cam.rows, cols=cam.cols)
+    assert isinstance(ds_py.images, euroc._LazyImages)
+    res_p = VioRunner(cfg, undistort=False).run(ds_py)
+
+    np.testing.assert_array_equal(res_n.position, res_p.position)
+    np.testing.assert_array_equal(res_n.num_matches, res_p.num_matches)

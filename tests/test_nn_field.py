@@ -57,6 +57,10 @@ def test_jfa_respects_threshold_gate():
 
 
 def test_pallas_jfa_matches_xla_jfa():
+    # The Pallas kernel keeps the exact subpixel metric; the XLA JFA packs
+    # seed coords as fixed-point (<= 0.25 px quantization) to roll one plane
+    # per pass, so compare by distance-correctness (same contract as the
+    # brute-force test) instead of bit equality.
     from rebvio_tpu.ops.pallas_kernels import nn_field_pallas
 
     rng = np.random.RandomState(2)
@@ -64,6 +68,20 @@ def test_pallas_jfa_matches_xla_jfa():
     from tests.helpers import make_random_map
 
     em, d = make_random_map(rng, K, kmax, H, W)
-    want = np.asarray(DF.build_nn_field(em, R, H, W))
-    got = np.asarray(nn_field_pallas(em, R, H, W, interpret=True))
-    assert np.array_equal(got, want)
+    want = np.asarray(DF.build_nn_field(em, R, H, W)).reshape(H, W)
+    got = np.asarray(nn_field_pallas(em, R, H, W, interpret=True)).reshape(H, W)
+    pos = np.asarray(em.pos)
+    mismatch = 0
+    for y in range(H):
+        for x in range(W):
+            g, w = got[y, x], want[y, x]
+            if g == w:
+                continue
+            if (g < 0) != (w < 0):
+                mismatch += 1
+                continue
+            dg = (pos[g, 0] - x) ** 2 + (pos[g, 1] - y) ** 2
+            dw = (pos[w, 0] - x) ** 2 + (pos[w, 1] - y) ** 2
+            if abs(dg - dw) > 0.6:  # beyond the quantization band
+                mismatch += 1
+    assert mismatch <= 0.002 * H * W, mismatch

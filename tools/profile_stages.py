@@ -43,6 +43,7 @@ def main():
     ap.add_argument("--matcher", default=None)
     ap.add_argument("--df", default=None)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--profile", default="parity", choices=["parity", "fast"])
     args = ap.parse_args()
 
     import jax
@@ -57,12 +58,14 @@ def main():
     from rebvio_tpu.ops.imu import pack_imu_window
     from rebvio_tpu.pipeline import frontend_matrices, step
 
+    from rebvio_tpu.configs import fast_profile
+
     kw = {}
     if args.matcher:
         kw["matcher"] = args.matcher
     if args.df:
         kw["df_mode"] = args.df
-    config = PipelineConfig(**kw)
+    config = fast_profile(**kw) if args.profile == "fast" else PipelineConfig(**kw)
     cam = config.camera
     core_cfg = config.core
     mats = frontend_matrices(config)
@@ -110,18 +113,22 @@ def main():
         threshold = edge_detect.autogain_threshold(
             st.detector_threshold, st.keylines_count, config.detector
         )
-        new_map = edge_detect.detect(fr, threshold, mats, config.detector, config.camera)
+        new_map = edge_detect.detect(fr, threshold, mats, config.detector, config.camera,
+                                     field_scale=config.field_scale)
         aux = msum(new_map) + threshold
         if upto == 0:
             return aux
         if config.df_mode == "jfa":
-            nn = DF.build_nn_field(new_map, int(core_cfg.search_range), cam.rows, cam.cols)
-            new_map = new_map.replace(nn_id_img=nn)
-            field_ids = nn
+            att = DF.build_att_field(new_map, int(core_cfg.search_range), cam.rows, cam.cols,
+                                     config.field_scale)
+            nn = att[:, DF.ATT_ID].astype(jnp.int32)
+            new_map = new_map.replace(nn_id_img=nn, att_img=att)
+            field_ids = att
+            aux = aux + nn.sum().astype(jnp.float32)
         else:
             fld = DF.build_distance_field(new_map, int(core_cfg.search_range), cam.rows, cam.cols)
             field_ids = DF.field_id(fld, new_map.kmax)
-        aux = aux + field_ids.sum().astype(jnp.float32)
+            aux = aux + field_ids.sum().astype(jnp.float32)
         if upto == 1:
             return aux
         ii = imu_ops.integrate_imu(imu_d, R_c2i, t_c2i)
@@ -131,7 +138,9 @@ def main():
         if upto == 2:
             return aux
         Vg0 = jnp.zeros(3, jnp.float32)
-        Vg, P_Vg, old_map, _score = tracker.minimize_vel(old_map, new_map, field_ids, Vg0, core_cfg, cam)
+        Vg, P_Vg, old_map, _score = tracker.minimize_vel(
+            old_map, new_map, field_ids, Vg0, core_cfg, cam, config.field_scale,
+            use_att=(config.df_mode == "jfa"))
         aux = aux + Vg.sum() + P_Vg.sum() + msum(old_map)
         if upto == 3:
             return aux
@@ -149,7 +158,8 @@ def main():
         Rgva = so3.exp(Xv[3:6]).T
         if config.matcher == "tube":
             new_map, klm = matching.directed_match_tube(
-                new_map, old_map, V, P_V, Rgva, config.edge_map, core_cfg, cam)
+                new_map, old_map, V, P_V, Rgva, config.edge_map, core_cfg, cam,
+                field_scale=config.field_scale)
         else:
             new_map, klm = matching.directed_match(
                 new_map, old_map, V, P_V, Rgva, config.edge_map, core_cfg, cam)
