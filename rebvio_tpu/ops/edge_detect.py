@@ -168,34 +168,29 @@ def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:
     tx = -grad[:, 1]
     ty = grad[:, 0]
 
-    # All 8 neighbor ids in ONE packed row-gather: stack the 8 shifted copies
-    # of the id image channel-wise (cheap dense slices), then gather one
-    # [kmax, 8] row block per keyline.  Replaces 11 scalar gathers (~2.5 ms
-    # on TPU) with 1 (~0.2 ms).  ids ride as exact f32 (< 2^24); the -1 pad
-    # reproduces "no keyline" outside the frame (detections are >= pfs >= 1
-    # pixels interior, so clipped probes never differed from padded ones).
+    # The 3 probe offsets per keyline depend only on the tangent quadrant
+    # (edge_detector.cpp:148-156), so gather the 3 candidate ids DIRECTLY
+    # from the padded id image at computed indices — three independent [K]
+    # scalar gathers from a ~1.4 MB (VMEM-resident) table.  This replaces
+    # the earlier 8-neighbor stack (an 11.5 MB HBM table + [K,8] row gather,
+    # ~0.3 ms at 16k keylines).  ids gather as exact f32 (< 2^24); the -1
+    # pad reproduces "no keyline" outside the frame (detections are
+    # >= pfs >= 1 pixels interior, so probes stay within the padded image).
     kl_f = kl_id_img.astype(jnp.float32)
-    pad = jnp.pad(kl_f, 1, constant_values=-1.0)
-    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
-    nb_img = jnp.stack(
-        [pad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W] for dy, dx in offs], axis=-1
-    ).reshape(H * W, 8)
-    yy = jnp.clip(y, 0, H - 1)
-    xx = jnp.clip(x, 0, W - 1)
-    row = nb_img[yy * W + xx]  # [kmax, 8]
+    pad = jnp.pad(kl_f, 1, constant_values=-1.0).reshape(-1)
+    Wp = W + 2
 
     # Neighbor offsets per quadrant of the tangent direction.
     # ty>0: probes (0,sx), (1,0), (1,sx); ty<=0: (0,sx'), (-1,0), (-1,sx')
     # where for ty<=0 the x sign logic flips: tx<0 -> -1 else +1.
-    sx = jnp.where(tx > 0, 1.0, -1.0)
-    sx_neg = jnp.where(tx < 0, -1.0, 1.0)
+    sx = jnp.where(tx > 0, 1, -1)
+    sx_neg = jnp.where(tx < 0, -1, 1)
     px = jnp.where(ty > 0, sx, sx_neg)
-    py = jnp.where(ty > 0, 1.0, -1.0)
-    c1 = jnp.where(px > 0, row[:, 4], row[:, 3])          # (0, px)
-    c2 = jnp.where(py > 0, row[:, 6], row[:, 1])          # (py, 0)
-    c3 = jnp.where(py > 0,
-                   jnp.where(px > 0, row[:, 7], row[:, 5]),
-                   jnp.where(px > 0, row[:, 2], row[:, 0]))  # (py, px)
+    py = jnp.where(ty > 0, 1, -1)
+    base = (y + 1) * Wp + (x + 1)
+    c1 = pad[base + px]
+    c2 = pad[base + py * Wp]
+    c3 = pad[base + py * Wp + px]
     id_next_f = jnp.where(c1 >= 0, c1, jnp.where(c2 >= 0, c2, c3))
     id_next = jnp.where(valid, id_next_f.astype(jnp.int32), -1)
 

@@ -294,13 +294,22 @@ def directed_match_tube(
     cam: CameraConfig,
     n_probes: int = 0,
     field_scale: int = 1,
+    grad_rot2: jnp.ndarray = None,
 ) -> Tuple[T.EdgeMap, jnp.ndarray]:
     """Epipolar matching via the dense nearest-keyline field (TPU-first
     redesign of searchMatch's pixel walk, edge_map.cpp:101-184).
 
+    ``grad_rot2``: the exact 2x2 gradient-rotation replay matrix for the old
+    map.  rotate_keylines drops the z component at every stage, so a
+    two-stage rotation chain R1 then R2 rotates gradients by
+    R2[:2,:2] @ R1[:2,:2] — NOT (R2 @ R1)[:2,:2]; the pipeline passes the
+    exact product.  Defaults to Rback.T[:2,:2], which is exact for a map
+    rotated once by Rback.T (positions always compose exactly, so they
+    replay from Rback.T directly).
+
     Instead of rasterizing up to 88 pixels along the translation direction
     and probing a sparse detection mask, a handful of probes sample the old
-    map's JFA nearest-field (``old.nn_id_img``); each candidate is gated by
+    map's JFA nearest-attribute field (``old.att_img``); each candidate is gated by
     (a) perpendicular distance to the epipolar line <= pixel uncertainty (the
     'tube' — the walk implicitly enforced this by stepping on the line),
     (b) its effective disparity t = (seed - p0) . dir inside the same
@@ -362,31 +371,35 @@ def directed_match_tube(
     col = jnp.clip(jnp.floor(px_pix + 0.5).astype(jnp.int32), 0, W - 1)
     row = jnp.clip(jnp.floor(py_pix + 0.5).astype(jnp.int32), 0, H - 1)
     inb = (px_pix >= -0.5) & (px_pix < W - 0.5) & (py_pix >= -0.5) & (py_pix < H - 0.5)
-    nn_f = old.nn_id_img.astype(jnp.float32)  # f32 gathers: fast path
     if field_scale > 1:  # decimated auxiliary field (configs.field_scale)
         Wf = (W + field_scale - 1) // field_scale
         pidx = (row // field_scale) * Wf + (col // field_scale)
     else:
         pidx = row * W + col
-    oid = jnp.where(inb, nn_f[pidx].astype(jnp.int32), -1)
+
+    # Level 1: ONE [K,P,8] row gather from the old map's attribute field —
+    # yields candidate id + its detection-time statics (seed pos, gradient,
+    # stale grad norm) in the same gather that the id lookup used to need.
+    # Level 2: only the DYNAMIC per-keyline pair (rho, sigma_rho — evolved by
+    # the depth EKF and the in-flight rotations) from a [K,2] table.  The
+    # old map's rotated gradient / pos_img are NOT gathered: rotate_keylines
+    # was applied twice (R_prior then R0gva, rebvio.cpp:165,223), and the
+    # composite is exactly Rback.T, so they replay analytically from the
+    # att statics: grad' = R[:2,:2] @ grad0 (rotation chains drop the z
+    # component each step), pos_img' = persp(R @ [x0/fm, y0/fm, 1]) * fm.
+    from rebvio_tpu.ops.distance_field import (
+        ATT_GN, ATT_GX, ATT_ID, ATT_POSX,
+    )
+
+    R_tot = Rback.T
+    M2 = R_tot[:2, :2] if grad_rot2 is None else grad_rot2
+
+    rowp = old.att_img[pidx]                  # [K,P,8]
+    oid = jnp.where(inb, rowp[..., ATT_ID].astype(jnp.int32), -1)
     has = oid >= 0
     os = jnp.clip(oid, 0, kmax - 1)
 
-    # one packed [K,P,12] slice-gather of all old-keyline fields.  pos is the
-    # detection-time pixel position (the JFA field lives in detection pixel
-    # space); pos_img is the *current* (rotated) centered position the match
-    # fields must carry (rotate_keylines updates pos_img, not pos).  The int
-    # counters ride as exact f32 (< 2^24) — extra lanes are far cheaper than
-    # an extra gather.
-    old_pack = jnp.concatenate(
-        [old.pos, old.grad, old.grad_norm[:, None], old.rho[:, None],
-         old.sigma_rho[:, None], old.pos_img,
-         old.matches.astype(jnp.float32)[:, None],
-         old.match_id_keyframe.astype(jnp.float32)[:, None],
-         jnp.zeros((kmax, 1), jnp.float32)], axis=-1,
-    )
-    rowp = old_pack[os]
-    seed = rowp[..., 0:2]                     # (x, y) pixel coords
+    seed = rowp[..., ATT_POSX:ATT_POSX + 2]   # (x, y) detection pixel coords
     dxs = seed[..., 0] - pi0x[:, None]
     dys = seed[..., 1] - pi0y[:, None]
     t_eff = dxs * tx[:, None] + dys * ty[:, None]
@@ -394,15 +407,18 @@ def directed_match_tube(
     gate_tube = perp <= pum
     gate_window = (t_eff >= dq_min[:, None]) & (t_eff <= dq_max[:, None])
 
-    g_old = rowp[..., 2:4]
-    gn_old = rowp[..., 4]
+    g0 = rowp[..., ATT_GX:ATT_GX + 2]
+    g_old = g0 @ M2.T                          # rotated old gradient (replay)
+    gn_old = rowp[..., ATT_GN]                 # stale detection-time norm
     gdot = g_old[..., 0] * new.grad[:, None, 0] + g_old[..., 1] * new.grad[:, None, 1]
     denom = jnp.where(gn_old * new.grad_norm[:, None] > 0, gn_old * new.grad_norm[:, None], 1.0)
     gate_ang = gdot / denom >= cang_min
     gate_norm = jnp.abs(gn_old / jnp.where(new.grad_norm[:, None] > 0, new.grad_norm[:, None], 1.0) - 1.0) <= cfg.match_threshold_norm
 
-    rho_old = rowp[..., 5]
-    sr_old = rowp[..., 6]
+    dyn = jnp.stack([old.rho, old.sigma_rho], axis=-1)  # [K,2] dynamic pair
+    drow = dyn[os]                             # [K,P,2] level-2 gather
+    rho_old = drow[..., 0]
+    sr_old = drow[..., 1]
     v_rho_dr = pum * pum + sr_old * sr_old * nt_eff[:, None] ** 2 + sigma2_t[:, None] * rho_old * rho_old
     resid = t_eff - nt_eff[:, None] * rho_old
     gate_depth = ~(resid * resid > v_rho_dr)
@@ -413,23 +429,37 @@ def directed_match_tube(
     found = jnp.take_along_axis(ok, best[:, None], axis=1)[:, 0]
     match = jnp.where(found, jnp.take_along_axis(oid, best[:, None], axis=1)[:, 0], -1)
 
-    # Winner fields come from the already-gathered probe rows (rowp) —
-    # zero fresh gathers.
-    row_best = jnp.take_along_axis(rowp, best[:, None, None], axis=1)[:, 0, :]  # [K,12]
-    w_pos_img = row_best[:, 7:9]
-    w_grad = row_best[:, 2:4]
-    w_grad_norm = row_best[:, 4]
-    w_rho = row_best[:, 5]
-    w_sigma_rho = row_best[:, 6]
+    # Winner fields: depth pair + statics from the already-gathered probe
+    # rows; the winner's rotated pos_img replays from its seed pos; the two
+    # int counters are one [K,2] winner gather.
+    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+    w_rho = take(rho_old)
+    w_sigma_rho = take(sr_old)
+    w_grad = jnp.take_along_axis(g_old, best[:, None, None], axis=1)[:, 0, :]
+    w_grad_norm = take(gn_old)
+    w_seed = jnp.take_along_axis(seed, best[:, None, None], axis=1)[:, 0, :]
+    p0 = jnp.concatenate(
+        [(w_seed - jnp.asarray([cam.cx, cam.cy], jnp.float32)) / fm,
+         jnp.ones((kmax, 1), jnp.float32)], axis=-1,
+    ) @ R_tot.T
+    p0z = jnp.where(p0[:, 2] != 0, p0[:, 2], 1e-20)
+    w_pos_img = p0[:, :2] * (fm / p0z)[:, None]
+
+    cnt_pack = jnp.stack(
+        [old.matches.astype(jnp.float32),
+         old.match_id_keyframe.astype(jnp.float32)], axis=-1,
+    )
+    ws = jnp.clip(match, 0, kmax - 1)
+    wcnt = cnt_pack[ws]                        # [K,2] winner-only gather
     new = new.replace(
         rho=jnp.where(found, w_rho, new.rho),
         sigma_rho=jnp.where(found, w_sigma_rho, new.sigma_rho),
         match_id=jnp.where(found, match, new.match_id),
-        matches=jnp.where(found, row_best[:, 9].astype(jnp.int32) + 1, new.matches),
+        matches=jnp.where(found, wcnt[:, 0].astype(jnp.int32) + 1, new.matches),
         match_pos_img=jnp.where(found[:, None], w_pos_img, new.match_pos_img),
         match_grad=jnp.where(found[:, None], w_grad, new.match_grad),
         match_grad_norm=jnp.where(found, w_grad_norm, new.match_grad_norm),
-        match_id_keyframe=jnp.where(found, row_best[:, 10].astype(jnp.int32), new.match_id_keyframe),
+        match_id_keyframe=jnp.where(found, wcnt[:, 1].astype(jnp.int32), new.match_id_keyframe),
     )
     return new, jnp.sum(found).astype(jnp.int32)
 

@@ -108,3 +108,147 @@ def nn_field_pallas(
         interpret=interpret,
     )(sid0, sy0, sx0)
     return out.reshape(-1)
+
+
+def try_vel_pallas(
+    old: T.EdgeMap,
+    att: jnp.ndarray,           # [N,8] attribute field (build_att_field)
+    vel: jnp.ndarray,           # [3]
+    sigma_rho_min: jnp.ndarray,  # []
+    residuals: jnp.ndarray,     # [K]
+    cfg,
+    cam,
+    field_scale: int = 1,
+    block: int = 1024,
+    interpret: bool = False,
+):
+    """Fused tryVel pass as one Pallas kernel (north-star attempt).
+
+    The XLA formulation measures AT the dependent row-gather chain latency
+    (tools/roofline.py: 175 us pass vs 182 us bare gather chain at 16k
+    keylines), so the only possible win is making the gather itself faster
+    by pinning the attribute table in VMEM and using an in-kernel vector
+    gather.  This kernel expresses exactly that: per keyline block, the
+    projection/gates/JtJ math runs in VMEM with the [N,8] table resident,
+    and the candidate row is fetched with a per-lane `jnp.take`.
+
+    Outcome on v5e (see README): Mosaic lowers the per-lane dynamic gather
+    through its serialized path — there is no vector-gather unit — so the
+    compiled kernel is NOT faster than the XLA gather lowering; the XLA
+    formulation already sits at the device's gather speed of light.  Kept
+    as the measurement artifact + interpret-mode-verified reference of the
+    fused formulation.
+
+    Returns (score[1,1] per block summed, JtJ[4,4], residuals, mif) like
+    tracker.try_vel's TryVelOut fields (JtJ packed with JtF as G[4,4]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = old.kmax
+    H, W = old.kl_id_img.shape
+    fm, cx, cy = cam.fm, cam.cx, cam.cy
+    R = cfg.search_range
+    Wf = (W + field_scale - 1) // field_scale
+    n_blocks = (K + block - 1) // block
+    assert K % block == 0
+
+    def kernel(pos_img_ref, rho_ref, sr_ref, grad_ref, gn_ref, use_ref,
+               res_in_ref, vel_ref, att_ref, score_ref, G_ref, res_ref, mif_ref):
+        b = pl.program_id(0)
+        vel0, vel1, vel2 = vel_ref[0], vel_ref[1], vel_ref[2]
+        use = use_ref[:] > 0.5
+        sr = sr_ref[:]
+        sr_safe = jnp.where(sr > 0, sr, 1.0)
+        inv_sr = 1.0 / sr_safe
+        residuals_b = res_in_ref[:]
+        weight = jnp.where(residuals_b > cfg.reweight_distance,
+                           cfg.reweight_distance / residuals_b, 1.0)
+        rho = rho_ref[:]
+        z_p = 1.0 / jnp.where(rho != 0, rho, 1e-20) + vel2
+        front = z_p > 0.0
+        rho_p = 1.0 / jnp.where(front, z_p, 1.0)
+        px_i = pos_img_ref[:, 0]
+        py_i = pos_img_ref[:, 1]
+        p_x = rho_p * (vel0 * fm - vel2 * px_i) + px_i
+        p_y = rho_p * (vel1 * fm - vel2 * py_i) + py_i
+        p_xc = p_x + cx
+        p_yc = p_y + cy
+        x = jnp.floor(p_xc + 0.5).astype(jnp.int32)
+        y = jnp.floor(p_yc + 0.5).astype(jnp.int32)
+        inb = (x >= 1) & (y >= 1) & (x < W - 1) & (y < H - 1)
+        lookup_ok = use & front & inb
+        xs = jnp.clip(x, 0, W - 1)
+        ys = jnp.clip(y, 0, H - 1)
+        if field_scale > 1:
+            fidx = (ys // field_scale) * Wf + (xs // field_scale)
+        else:
+            fidx = ys * W + xs
+
+        row8 = jnp.take(att_ref[:], fidx, axis=0)  # [B,8] (indices pre-clipped)
+
+        fid = jnp.where(lookup_ok, row8[:, 2].astype(jnp.int32), -1)
+        has_df = fid >= 0
+        gNx, gNy = row8[:, 3], row8[:, 4]
+        gnN = row8[:, 5]
+        posNx, posNy = row8[:, 6], row8[:, 7]
+        gx, gy = grad_ref[:, 0], grad_ref[:, 1]
+        dot = gNx * gx + gNy * gy
+        n2 = gnN * gnN
+        sim_ok = jnp.abs(dot - n2) <= cfg.match_threshold * n2
+        matched = has_df & sim_ok
+
+        gnN_safe = jnp.where(gnN > 0, gnN, 1.0)
+        ux = gNx / gnN_safe
+        uy = gNy / gnN_safe
+        dx = p_xc - posNx
+        dy = p_yc - posNy
+        fi = dx * ux + dy * uy
+        f0 = jnp.where(matched, fi * inv_sr, R * inv_sr)
+        f = f0 * weight
+        score_ref[0, 0] = jnp.sum(jnp.where(use, f * f, 0.0))
+
+        m = matched & use
+        df_dx = jnp.where(m, ux * inv_sr, 0.0)
+        df_dy = jnp.where(m, uy * inv_sr, 0.0)
+        jx = rho_p * fm * df_dx * weight
+        jy = rho_p * fm * df_dy * weight
+        jz = -rho_p * (p_x * df_dx + p_y * df_dy) * weight
+        Jm = jnp.stack([jx, jy, jz, jnp.where(m, f, 0.0)], axis=-1)
+        G_ref[0, :, :] = jnp.dot(Jm.T, Jm, preferred_element_type=jnp.float32)
+        res_ref[:] = jnp.where(m, jnp.abs(fi), residuals_b)
+        mif_ref[:] = jnp.where(m, fid, -1)
+
+    use_f = (old.valid & (old.sigma_rho <= sigma_rho_min)
+             & ((old.threshold <= 0.0) | (old.grad_norm >= old.threshold))
+             ).astype(jnp.float32)
+
+    bspec = lambda *shape: pl.BlockSpec(
+        shape, lambda b: tuple(b if i == 0 else 0 for i in range(len(shape))),
+        memory_space=pltpu.VMEM)
+    score, G, res, mif = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            bspec(block, 2),                 # pos_img
+            bspec(block,), bspec(block,),    # rho, sigma_rho
+            bspec(block, 2), bspec(block,),  # grad, grad_norm
+            bspec(block,), bspec(block,),    # use, residuals_in
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # vel [3]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # att table (full)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4, 4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            bspec(block,), bspec(block,),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 4, 4), jnp.float32),
+            jax.ShapeDtypeStruct((K,), jnp.float32),
+            jax.ShapeDtypeStruct((K,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(old.pos_img, old.rho, old.sigma_rho, old.grad, old.grad_norm,
+      use_f, residuals, vel, att)
+    return score.sum(), G.sum(axis=0), res, mif

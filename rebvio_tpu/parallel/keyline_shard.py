@@ -36,7 +36,7 @@ def _edge_map_specs(shard_keylines: bool):
         grad_norm=kl, match_grad_norm=kl, rho=kl, sigma_rho=kl,
         id_prev=kl, id_next=kl, match_id=kl, match_id_forward=kl,
         match_id_keyframe=kl, matches=kl, valid=kl,
-        count=P(), kl_id_img=P(), nn_id_img=P(), att_img=P(), threshold=P(),
+        count=P(), kl_id_img=P(), att_img=P(), threshold=P(),
     )
 
 

@@ -68,9 +68,7 @@ def detect_frame(state: T.VioState, frame: jnp.ndarray, mats: FrontendMatrices,
             new_map, int(config.core.search_range), config.camera.rows,
             config.camera.cols, config.field_scale,
         )
-        # id field = the id lane of the attribute field (one elementwise pass)
-        nn = att[:, DF.ATT_ID].astype(jnp.int32)
-        new_map = new_map.replace(nn_id_img=nn, att_img=att)
+        new_map = new_map.replace(att_img=att)
     return new_map, threshold
 
 
@@ -220,9 +218,12 @@ def estimate(
     fail_nan = jnp.any(jnp.isnan(V))
     if config.matcher == "tube":
         assert config.df_mode == "jfa", "tube matcher requires the JFA field"
+        # exact gradient-replay matrix for the two in-flight rotations of the
+        # old map (rotate_keylines drops z per stage, so 2x2 blocks compose)
+        Mg = R0gva[:2, :2] @ R_prior_T[:2, :2]
         new_map_dm, klm = matching.directed_match_tube(
             new_map, old_map, V, P_V, Rgva, config.edge_map, core_cfg, cam,
-            field_scale=config.field_scale,
+            field_scale=config.field_scale, grad_rot2=Mg,
         )
     else:
         new_map_dm, klm = matching.directed_match(
@@ -353,7 +354,7 @@ def step_chunk_pipelined(
                 m, int(config.core.search_range), config.camera.rows,
                 config.camera.cols, config.field_scale,
             )
-            m = m.replace(nn_id_img=att[:, DF.ATT_ID].astype(jnp.int32), att_img=att)
+            m = m.replace(att_img=att)
         return m
 
     maps = jax.vmap(detect_one)(frames)

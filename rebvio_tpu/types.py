@@ -52,8 +52,6 @@ class EdgeMap(struct.PyTreeNode):
     valid: jnp.ndarray          # [K] bool
     count: jnp.ndarray          # [] int32 number of valid keylines
     kl_id_img: jnp.ndarray      # [H,W] int32 keyline id per pixel (-1 = none)
-    nn_id_img: jnp.ndarray      # [H*W] int32 nearest-keyline id (JFA field;
-                                # filled by the pipeline when df_mode="jfa")
     att_img: jnp.ndarray        # [H*W,8] f32 nearest-keyline attribute field
                                 # (distance_field.build_att_field lanes; the
                                 # tracker's single-gather fast path)
@@ -79,7 +77,6 @@ def empty_edge_map(kmax: int, rows: int, cols: int, field_scale: int = 1) -> Edg
         match_id_keyframe=i, matches=jnp.zeros((kmax,), jnp.int32),
         valid=jnp.zeros((kmax,), bool), count=jnp.zeros((), jnp.int32),
         kl_id_img=jnp.full((rows, cols), -1, jnp.int32),
-        nn_id_img=jnp.full((fr * fc,), -1, jnp.int32),
         att_img=jnp.full((fr * fc, 8), -1.0, jnp.float32),
         threshold=jnp.full((), -1.0, jnp.float32),
     )

@@ -350,3 +350,287 @@ def estimate_quantile(sigma_rho, valid, percentile, num_bins):
             return i * (RHO_MAX - RHO_MIN) / num_bins + RHO_MIN
         a += hist[i]
     return 1e3
+
+
+# ===================================================================
+# Composed sequential oracle of the vision-only master loop
+# (rebvio.cpp:92-293 restricted to the paths that do not touch
+# imu_state_/sab_state_) — used by test_oracle_pipeline.py to check the
+# jitted pipeline's STAGE SEQUENCING, not just each kernel in isolation.
+# ===================================================================
+
+
+def rodrigues(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + math.sin(th) * Kx + (1 - math.cos(th)) * (Kx @ Kx)
+
+
+def rotate_keylines(m, R, fm):
+    """edge_map.cpp:58-71 (in place on the dict-of-arrays map)."""
+    for i in range(len(m["pos"])):
+        if not m["valid"][i]:
+            continue
+        q = R @ np.array([m["pos_img"][i][0] / fm, m["pos_img"][i][1] / fm, 1.0])
+        if q[2] == 0.0:
+            continue
+        m["pos_img"][i] = np.array([q[0] / q[2] * fm, q[1] / q[2] * fm])
+        m["rho"][i] /= q[2]
+        m["sigma_rho"][i] /= q[2]
+        g = R @ np.array([m["grad"][i][0], m["grad"][i][1], 0.0])
+        m["grad"][i] = g[:2]
+
+
+def join_edges(ks, id_img):
+    """edge_detector.cpp:125-165: link keylines along the edge tangent."""
+    H, W = id_img.shape
+    K = len(ks)
+    id_next = np.full(K, -1, np.int32)
+    id_prev = np.full(K, -1, np.int32)
+
+    def probe(x, y):
+        if 0 <= y < H and 0 <= x < W:
+            return id_img[y, x]
+        return -1
+
+    for i, k in enumerate(ks):
+        x = int(k["pos"][0] + 0.5)
+        y = int(k["pos"][1] + 0.5)
+        tx, ty = -k["grad"][1], k["grad"][0]
+        if ty > 0:
+            px = 1 if tx > 0 else -1
+            py = 1
+        else:
+            px = -1 if tx < 0 else 1
+            py = -1
+        for dx, dy in ((px, 0), (0, py), (px, py)):
+            nid = probe(x + dx, y + dy)
+            if nid >= 0:
+                id_next[i] = nid
+                id_prev[nid] = i
+                break
+    return id_next, id_prev
+
+
+def tune_threshold(grad_norms, keylines_max, num_bins=100):
+    """edge_detector.cpp:167-186 incl. the skip-bin-0 loop quirk."""
+    if len(grad_norms) == 0:
+        return 0.0
+    max_dog = float(np.max(grad_norms))
+    min_dog = float(np.min(grad_norms))
+    rng = max_dog - min_dog if max_dog > min_dog else 1.0
+    hist = np.zeros(num_bins, np.int64)
+    for g in grad_norms:
+        b = int(num_bins * (max_dog - g) / rng)
+        hist[min(max(b, 0), num_bins - 1)] += 1
+    a = 0
+    i = 0
+    while a < keylines_max and i < num_bins:
+        i += 1
+        if i < num_bins:
+            a += hist[i]
+    return max_dog - i * (max_dog - min_dog) / num_bins
+
+
+def minimize_vel(old, new, idf, vel0, cfg, cam):
+    """LM driver (core.cpp:150-189). Returns (vel, Rvel, mif, score)."""
+    sigma_rho_min = estimate_quantile(
+        old["sigma_rho"], old["valid"], cfg["quantile_cutoff"], 100)
+    residuals = np.zeros(len(old["pos"]))
+    F, JtJ, JtF, residuals, mif = try_vel(
+        old, new, idf, residuals, vel0, sigma_rho_min, cfg, cam)
+    vel = np.asarray(vel0, np.float64)
+    u = 1e-3 * JtJ.max()
+    v = 2.0
+    for _ in range(cfg["iterations"]):
+        h = np.linalg.solve(JtJ + np.eye(3) * u, -JtF)
+        vel_new = vel + h
+        F2, JtJ2, JtF2, residuals, mif = try_vel(
+            old, new, idf, residuals, vel_new, sigma_rho_min, cfg, cam)
+        gain = (F - F2) / (0.5 * h @ (u * h - JtF))
+        if gain > 0:
+            F, vel, JtJ, JtF = F2, vel_new, JtJ2, JtF2
+            u *= max(0.33, 1.0 - (2.0 * gain - 1.0) ** 3)
+            v = 2.0
+        else:
+            u *= v
+            v *= 2.0
+    return vel, np.linalg.inv(JtJ), mif, F
+
+
+def ext_rot_vel(new, vel, cfg, cam):
+    """6-DoF linear refinement from forward matches (core.cpp:191-261)."""
+    fm = cam["fm"]
+    rows_phi = []
+    ys = []
+    for i in range(len(new["pos"])):
+        if not new["valid"][i] or new["match_id"][i] < 0:
+            continue
+        gn = new["grad_norm"][i]
+        u_x = new["grad"][i][0] / gn
+        u_y = new["grad"][i][1] / gn
+        rho_t = 1.0 / (1.0 / new["rho"][i] + vel[2])
+        q0x, q0y = new["match_pos_img"][i]
+        qtx = q0x + rho_t * (vel[0] * fm - vel[2] * q0x)
+        qty = q0y + rho_t * (vel[1] * fm - vel[2] * q0y)
+        q_x, q_y = new["pos_img"][i]
+        phi = np.array([
+            u_x * rho_t * fm,
+            u_y * rho_t * fm,
+            u_x * (-rho_t * q_x) + u_y * (-rho_t * q_y),
+            -u_x * q_x * q_y / fm - u_y * (fm + q_y * q_y / fm),
+            u_y * q_x * q_y / fm + u_x * (fm + q_x * q_x / fm),
+            -u_x * q_y + u_y * q_x,
+        ])
+        Y = u_x * (q_x - qtx) + u_y * (q_y - qty)
+        dqvel = u_x * (vel[0] * fm - vel[2] * q0x) + u_y * (vel[1] * fm - vel[2] * q0y)
+        s_y = math.sqrt(new["sigma_rho"][i] ** 2 * dqvel ** 2 + cfg["pixel_uncertainty"] ** 2)
+        w = 1.0
+        if abs(Y) > cfg["reweight_distance"]:
+            w = abs(Y) / cfg["reweight_distance"]
+        rows_phi.append(phi / (s_y * w))
+        ys.append(Y / (s_y * w))
+    Phi = np.stack(rows_phi) if rows_phi else np.zeros((1, 6))
+    Yv = np.asarray(ys) if ys else np.zeros(1)
+    JtJ = Phi.T @ Phi
+    JtF = Phi.T @ Yv
+    X = np.linalg.lstsq(JtJ, JtF, rcond=None)[0]
+    return X, JtJ
+
+
+def empty_map():
+    return None
+
+
+def oracle_step(state, dog, mag, cfg_det, cfg_core, cfg_em, cam):
+    """One vision-only master-loop iteration over precomputed (dog, mag).
+
+    ``state``: dict with keys map (dict-of-arrays or None), threshold,
+    keylines_count, R_global, Pos, run_ok.  Returns (state, odometry dict).
+    Ordering per rebvio.cpp:119-292 with R prior = I and no SAB.
+    """
+    # auto-gain (edge_detector.cpp:33-36)
+    thr = state["threshold"]
+    if cfg_det["gain"] > 0:
+        thr -= cfg_det["gain"] * (cfg_det["keylines_ref"] - state["keylines_count"])
+        thr = min(max(thr, cfg_det["min_threshold"]), cfg_det["max_threshold"])
+
+    ks, id_img = detect_keylines(dog, mag, thr, cfg_det)
+    id_next, id_prev = join_edges(ks, id_img)
+    map_thr = tune_threshold(np.array([k["grad_norm"] for k in ks]),
+                             cfg_det["keylines_max"])
+    K = len(ks)
+    new = dict(
+        pos=np.stack([k["pos"] for k in ks]) if K else np.zeros((0, 2)),
+        grad=np.stack([k["grad"] for k in ks]) if K else np.zeros((0, 2)),
+        grad_norm=np.array([k["grad_norm"] for k in ks]),
+        rho=np.full(K, RHO_INIT), sigma_rho=np.full(K, 20.0),
+        valid=np.ones(K, bool), threshold=map_thr,
+        match_id=np.full(K, -1, np.int32),
+        match_pos_img=np.zeros((K, 2)), match_grad=np.zeros((K, 2)),
+        match_grad_norm=np.zeros(K), matches=np.zeros(K, np.int32),
+        id_next=id_next, id_prev=id_prev, id_img=id_img,
+    )
+    new["pos_img"] = new["pos"] - np.array([cam["cx"], cam["cy"]])
+    new["match_pos_img"] = new["pos_img"].copy()
+
+    state = dict(state)
+    state["keylines_count"] = K
+    state["threshold"] = thr
+    odo = dict(position=state["Pos"].copy(), num_matches=0, run_ok=state["run_ok"])
+    if state["map"] is None or not state["run_ok"]:
+        state["map"] = new
+        return state, odo
+    old = state["map"]
+
+    # distance field from the NEW map (rebvio.cpp:142)
+    use = new["valid"].copy()
+    if new["threshold"] > 0:
+        use &= new["grad_norm"] >= new["threshold"]
+    idf, _ = build_distance_field(
+        new["pos"], new["grad"], new["grad_norm"], use,
+        int(cfg_core["search_range"]), cam["rows"], cam["cols"])
+
+    # minimizeVel (rebvio.cpp:169) — R prior = I so no pre-rotation
+    vel, Rvel, mif, _ = minimize_vel(old, new, idf, np.zeros(3), cfg_core, cam)
+
+    # forwardMatch (rebvio.cpp:172, edge_map.cpp:73-99)
+    match_id = forward_match(old["rho"], mif, K)
+    for t in range(K):
+        s = match_id[t]
+        if s < 0:
+            continue
+        new["rho"][t] = old["rho"][s]
+        new["sigma_rho"][t] = old["sigma_rho"][s]
+        new["matches"][t] = old["matches"][s] + 1
+        new["match_id"][t] = s
+        new["match_pos_img"][t] = old["pos_img"][s]
+        new["match_grad"][t] = old["grad"][s]
+        new["match_grad_norm"][t] = old["grad_norm"][s]
+
+    # extRotVel (rebvio.cpp:177)
+    Xv, W_Xv = ext_rot_vel(new, vel, cfg_core, cam)
+    dV, dW = Xv[:3], Xv[3:]
+    R0 = rodrigues(dW)
+    Rgva = R0.T  # R prior = I
+    Vgva = R0 @ vel + dV
+    P_V = np.linalg.inv(W_Xv)[:3, :3]
+
+    # second rotation of the old map (rebvio.cpp:223,232)
+    rotate_keylines(old, R0, cam["fm"])
+
+    # failure gates (rebvio.cpp:236-252)
+    if np.any(np.isnan(Vgva)):
+        state["run_ok"] = False
+        state["map"] = new
+        return state, odo
+
+    # directedMatch back into the old map (rebvio.cpp:245)
+    klm = 0
+    for i in range(K):
+        kl = {k: new[k][i] for k in
+              ("pos_img", "rho", "sigma_rho", "grad", "grad_norm")}
+        oid = search_match(kl, old, Rgva @ Vgva, Rgva @ P_V @ Rgva.T, Rgva,
+                           cfg_core["search_range"], cfg_em, cam)
+        if oid >= 0:
+            klm += 1
+            new["rho"][i] = old["rho"][oid]
+            new["sigma_rho"][i] = old["sigma_rho"][oid]
+            new["match_id"][i] = oid
+            new["matches"][i] = old["matches"][oid] + 1
+            new["match_pos_img"][i] = old["pos_img"][oid]
+            new["match_grad"][i] = old["grad"][oid]
+            new["match_grad_norm"][i] = old["grad_norm"][oid]
+        else:
+            new["match_id"][i] = -1
+    if klm < cfg_core["global_min_matches_threshold"]:
+        state["run_ok"] = False
+        state["map"] = new
+        odo["num_matches"] = 0
+        return state, odo
+
+    # regularize + depth EKF (rebvio.cpp:256-259)
+    new["rho"], new["sigma_rho"] = regularize(
+        new["rho"], new["sigma_rho"], new["grad"], new["grad_norm"],
+        new["id_next"], new["id_prev"], new["valid"],
+        cfg_em["regularization_threshold"])
+    for i in range(K):
+        if new["match_id"][i] < 0:
+            continue
+        kl = {k: new[k][i] for k in
+              ("pos_img", "match_pos_img", "rho", "sigma_rho",
+               "match_grad", "match_grad_norm")}
+        r, s = update_inverse_depth_arlu(kl, Vgva, cfg_core, cam)
+        if not (np.isfinite(r) and np.isfinite(s)):
+            r, s = RHO_INIT, RHO_MAX
+        new["rho"][i], new["sigma_rho"][i] = r, s
+
+    # vision-only global pose integration (pipeline.py VO branch)
+    state["R_global"] = state["R_global"] @ Rgva
+    state["Pos"] = state["Pos"] - state["R_global"] @ Vgva
+    state["map"] = new
+    odo = dict(position=state["Pos"].copy(), num_matches=klm, run_ok=True)
+    return state, odo

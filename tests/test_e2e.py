@@ -102,3 +102,28 @@ def test_reference_parity_mode_walk_raster():
     span = np.linalg.norm(seq.gt_pos[-1] - seq.gt_pos[0])
     ate = ev.ate_rmse(res.position, seq.gt_pos, align=True, with_scale=True)
     assert ate < 0.08 * span, (ate, span)
+
+
+def test_vio_long_loopy_sequence():
+    """300-frame (15 s) oscillating trajectory at half resolution — the
+    long-horizon drift gate VERDICT.md round-1 item 7 asked for.  Bounds are
+    measured values + headroom (measured at calibration time: ATE 0.105 of
+    span, |g| 9.7, g_dir_y -0.98, all-frames run_ok) so later perf work
+    cannot silently degrade long-run accuracy.  Uses the scan-chunk offline
+    path (8 frames/dispatch), which doubles as its regression test at this
+    length."""
+    cfg = _small_cfg(use_imu=True)
+    seq = synthetic.generate(cfg.camera, n_frames=300, seed=2, speed=0.15)
+    r = VioRunner(cfg, undistort=False)
+    res = r.run(seq, chunk=8)
+    assert res.run_ok.all()
+    assert res.num_matches[3:].min() > 500
+
+    span = float(np.linalg.norm(seq.gt_pos.max(0) - seq.gt_pos.min(0)))
+    ate = ev.ate_rmse(res.position, seq.gt_pos, align=True, with_scale=True)
+    assert ate < 0.15 * span, (ate, span)  # measured 0.105
+
+    g = np.asarray(r.state.sab_state.g_est)
+    assert 9.0 < np.linalg.norm(g) < 10.6, g
+    assert g[1] / np.linalg.norm(g) < -0.9, g
+    assert np.isfinite(float(r.state.K)) and float(r.state.K) > 1.0

@@ -121,10 +121,9 @@ def main():
         if config.df_mode == "jfa":
             att = DF.build_att_field(new_map, int(core_cfg.search_range), cam.rows, cam.cols,
                                      config.field_scale)
-            nn = att[:, DF.ATT_ID].astype(jnp.int32)
-            new_map = new_map.replace(nn_id_img=nn, att_img=att)
+            new_map = new_map.replace(att_img=att)
             field_ids = att
-            aux = aux + nn.sum().astype(jnp.float32)
+            aux = aux + att[:, DF.ATT_ID].sum()
         else:
             fld = DF.build_distance_field(new_map, int(core_cfg.search_range), cam.rows, cam.cols)
             field_ids = DF.field_id(fld, new_map.kmax)
@@ -180,7 +179,7 @@ def main():
         s2, odo = step(st, fr, imu_d, dt, config, mats)
         em2 = s2.edge_map
         return (msum(em2) + em2.kl_id_img.sum().astype(jnp.float32)
-                + em2.nn_id_img.sum().astype(jnp.float32)
+                + em2.att_img[:, 2].sum()
                 + odo.position.sum() + odo.orientation.sum() + s2.K
                 + s2.sab_state.X.sum() + s2.Pos.sum())
 

@@ -1,16 +1,23 @@
 """JtJ-kernel roofline report (BASELINE.json metric: "JtJ kernel % of roofline").
 
-The tracker's try_vel pass is gather-bound, not FLOP-bound: per keyline it
-does two data-dependent gathers (field id at the projected pixel, then the
-packed target-keyline row) plus ~80 VPU flops and a [K,4]^T[K,4] MXU
-contraction.  A classical FLOP roofline is meaningless at 2 MFLOP/pass, so
-this tool reports three numbers:
+The tracker's try_vel pass is LATENCY-bound on its data-dependent gather
+chain, not FLOP- or bandwidth-bound: per keyline it projects, gathers the
+nearest-keyline attribute row at the projected pixel (one [K,8] row gather
+from the attribute field — two chained gathers in the legacy id-field path),
+does ~80 VPU flops and a [K,4]^T[K,4] MXU contraction.  A classical FLOP
+roofline is meaningless at ~2 MFLOP/pass, and a single dispatch is faster
+than host-side timing noise, so this tool measures LATENCIES of dependent
+chains compiled into one program:
 
-  * dense HBM copy bandwidth (device speed-of-light for streaming ops)
-  * random row-gather rate (device speed-of-light for the access pattern)
-  * try_vel pass time, its achieved gather rate and bytes/s, as % of the
-    two ceilings above
+  * try_vel chain: P passes where each pass's velocity depends on the
+    previous score — exactly the dependency structure of the LM loop
+    (minimizeVel runs 6 such passes per frame, core.cpp:150-189)
+  * gather-chain ceiling: the same-length chain of bare row gathers whose
+    indices depend on the previous gather's values — the speed of light for
+    any algorithm with try_vel's access pattern on this device
 
+and reports per-pass latency, the ceiling, and their ratio (ceiling/pass,
+<= 1; the fraction of the pass spent at the unavoidable gather latency).
 Timings are fenced by device->host readbacks (block_until_ready returns
 early on the remote backend) with the readback round-trip subtracted.
 """
@@ -19,12 +26,14 @@ import time
 
 import numpy as np
 
+_CHAIN = 32
+
 
 def fence(x):
     np.asarray(x)
 
 
-def timeit(fn, n=30, repeats=3):
+def timeit(fn, n=20, repeats=3):
     out = fn()
     fence(out)
     t0 = time.perf_counter()
@@ -41,7 +50,7 @@ def timeit(fn, n=30, repeats=3):
 
 
 def measure() -> dict:
-    """Measure device ceilings + try_vel pass; returns a metrics dict.
+    """Measure device ceilings + the try_vel dependent chain; returns metrics.
 
     Used by main() for the human report and by bench.py to record the
     BASELINE.json 'JtJ kernel % of roofline' metric every round."""
@@ -63,53 +72,24 @@ def measure() -> dict:
     H, W = cam.rows, cam.cols
     K = config.detector.keylines_max
 
-    # --- device ceilings ---
+    # --- dispatch floor + dense copy bandwidth ---
     NBIG = 1 << 24
     big = jnp.arange(NBIG, dtype=jnp.float32)
 
     @jax.jit
+    def tiny(x):
+        return x[:8].sum()
+
+    t_disp = timeit(lambda: tiny(big), n=10)
+
+    @jax.jit
     def copy(x):
-        return x * 1.0000001
+        return (x * 1.0000001).sum()
 
-    t_copy = timeit(lambda: copy(big), n=10)
-    copy_bw = 2 * NBIG * 4 / t_copy  # read + write
+    t_copy = max(timeit(lambda: copy(big), n=10) - t_disp, 1e-9)
+    copy_bw = 2 * NBIG * 4 / t_copy  # read + write, net of dispatch
 
-    # Ceiling microbenchmarks shaped like try_vel's two gathers:
-    #   (a) K scalar gathers from an [H*W] field image (large table)
-    #   (b) K 8-lane row gathers from a [K,8] keyline table (small table)
-    rng = np.random.default_rng(0)
-
-    @jax.jit
-    def base(s):
-        return s[:K].sum()
-
-    field_tbl = jnp.arange(H * W, dtype=jnp.float32)
-    fidx = jnp.asarray(rng.integers(0, H * W, K).astype(np.int32))
-
-    @jax.jit
-    def gather_field(s, i):
-        return s[i].sum()
-
-    t_field = timeit(lambda: gather_field(field_tbl, fidx), n=30)
-    t_base = timeit(lambda: base(field_tbl), n=30)
-    t_field_net = max(t_field - t_base, 1e-9)
-
-    row_tbl = jnp.arange(K * 8, dtype=jnp.float32).reshape(K, 8) * 0.5
-    ridx = jnp.asarray(rng.integers(0, K, K).astype(np.int32))
-
-    @jax.jit
-    def gather_rows(s, i):
-        return s[i].sum()
-
-    t_rows = timeit(lambda: gather_rows(row_tbl, ridx), n=30)
-    t_rows_net = max(t_rows - t_base, 1e-9)
-
-    # steady-state ceiling: the two gather streams pipeline across keylines,
-    # so the slower stream bounds the pass
-    t_ceiling = max(t_field_net, t_rows_net)
-    gather_rate = K / t_ceiling  # keylines/s at the gather ceiling
-
-    # --- realistic try_vel pass ---
+    # --- realistic state: run the pipeline a few frames ---
     seq = synthetic.generate(cam, n_frames=8, seed=0)
     frames = [jnp.asarray(seq.images[i] * config.image_gain) for i in range(8)]
     windows = []
@@ -128,48 +108,68 @@ def measure() -> dict:
     fence(odo.position)
 
     thr = state.detector_threshold
-    new_map = edge_detect.detect(frames[6], thr, mats, config.detector, cam)
-    nn = DF.build_nn_field(new_map, int(core_cfg.search_range), H, W)
+    new_map = edge_detect.detect(frames[6], thr, mats, config.detector, cam,
+                                 field_scale=config.field_scale)
+    att = DF.build_att_field(new_map, int(core_cfg.search_range), H, W,
+                             config.field_scale)
     old_map = state.edge_map
-    vel = jnp.asarray([0.01, 0.0, 0.02], jnp.float32)
+    vel0 = jnp.asarray([0.01, 0.0, 0.02], jnp.float32)
     srm = jnp.float32(10.0)
     res0 = jnp.zeros((K,), jnp.float32)
 
     @jax.jit
-    def one_pass(om, nm, fid, v):
-        o = tracker.try_vel(om, nm, fid, v, srm, res0, core_cfg, cam)
-        return o.score + o.JtJ.sum() + o.JtF.sum() + o.residuals.sum()
-
-    t_pass = timeit(lambda: one_pass(old_map, new_map, nn, vel), n=30)
-
-    @jax.jit
-    def nothing(om):
+    def floor_fn(om):
         return om.rho.sum()
 
-    t_floor = timeit(lambda: nothing(old_map), n=30)
-    t_net = max(t_pass - t_floor, 1e-9)
+    t_floor = timeit(lambda: floor_fn(old_map))
 
-    # access accounting per pass: 2 gathers of K indices (1 + 8 lanes),
-    # ~15 [K] streaming reads, [K,4] write + MXU contraction
-    n_gathers = 2 * K
-    stream_bytes = K * 4 * (15 + 4 + 8)
-    ach_gather_rate = n_gathers / t_net
+    # --- try_vel dependent chain: P passes, velocity depends on prev score ---
+    @jax.jit
+    def chain(om, nm, att_f, v0):
+        def body(_, carry):
+            v, acc = carry
+            o = tracker.try_vel(om, nm, att_f, v, srm, res0, core_cfg, cam,
+                                field_scale=config.field_scale, att_f=att_f)
+            # data dependency: next velocity perturbed by this score
+            v = v * (1.0 + 1e-12 * o.score) + 1e-9 * o.JtF
+            return v, acc + o.score
+        v, acc = jax.lax.fori_loop(0, _CHAIN, body, (v0, jnp.float32(0.0)))
+        return acc + v.sum()
+
+    t_chain = timeit(lambda: chain(old_map, new_map, att, vel0), n=10)
+    pass_us = max(t_chain - t_floor, 1e-9) / _CHAIN * 1e6
+
+    # --- gather-chain ceiling: same-length chain of bare [K,8] row gathers,
+    # next indices derived from the gathered values ---
+    Nf = att.shape[0]
+    idx0 = jnp.asarray(
+        np.random.default_rng(0).integers(0, Nf, K).astype(np.int32))
+
+    @jax.jit
+    def gather_chain(tbl, i0):
+        def body(_, carry):
+            idx, acc = carry
+            row = tbl[idx]                       # [K,8] dependent row gather
+            nxt = (row[:, 0] + row[:, 7]).astype(jnp.int32) % Nf
+            return nxt, acc + row[:, 1].sum()
+        idx, acc = jax.lax.fori_loop(0, _CHAIN, body, (i0, jnp.float32(0.0)))
+        return acc + idx.sum().astype(jnp.float32)
+
+    t_g = timeit(lambda: gather_chain(att, idx0), n=10)
+    gather_us = max(t_g - t_floor, 1e-9) / _CHAIN * 1e6
+
     flops = K * (80 + 32)
-
     return {
         "keylines_max": K,
+        "field_scale": config.field_scale,
         "copy_bw_gbs": copy_bw / 1e9,
-        "gather_rate_mrows_s": gather_rate / 1e6,
-        "gather_field_us": t_field_net * 1e6,
-        "gather_rows_us": t_rows_net * 1e6,
-        "try_vel_pass_us": t_net * 1e6,
-        "achieved_gather_mrows_s": ach_gather_rate / 1e6,
-        # fraction of the measured gather ceiling (the slower of the two
-        # gather streams, which pipeline across keylines) the pass achieves
-        "gather_ceiling_fraction": t_ceiling / t_net,
-        "stream_gbs": stream_bytes / t_net / 1e9,
-        "stream_bw_fraction": stream_bytes / t_net / copy_bw,
-        "tflops": flops / t_net / 1e12,
+        "dispatch_floor_us": t_floor * 1e6,
+        "try_vel_pass_us": pass_us,
+        "gather_chain_us": gather_us,
+        # fraction of the pass latency that is the unavoidable dependent
+        # row-gather latency (<= 1; 1.0 = the pass IS a bare gather chain)
+        "gather_ceiling_fraction": min(gather_us / pass_us, 1.0),
+        "tflops": flops / (pass_us * 1e-6) / 1e12,
     }
 
 
@@ -177,13 +177,10 @@ def main():
     m = measure()
     K = m["keylines_max"]
     print(f"device dense copy bandwidth     : {m['copy_bw_gbs']:8.1f} GB/s")
-    print(f"gather ceiling (keylines/s)     : {m['gather_rate_mrows_s']:8.2f} M/s"
-          f"  (field gather {m['gather_field_us']:.1f} us, row gather {m['gather_rows_us']:.1f} us per [{K}])")
-    print(f"try_vel pass (net of dispatch)  : {m['try_vel_pass_us']:8.1f} us")
-    print(f"  gathers issued                : {2*K} ({m['achieved_gather_mrows_s']:.2f} M/s achieved)")
-    print(f"  % of device gather ceiling    : {100.0*m['gather_ceiling_fraction']:8.1f} %"
-          f"   (slower of the two gather streams / pass time)")
-    print(f"  streaming                     : {m['stream_gbs']:.1f} GB/s ({100.0*m['stream_bw_fraction']:.1f}% of copy BW)")
+    print(f"dispatch floor                  : {m['dispatch_floor_us']:8.1f} us")
+    print(f"try_vel pass latency (chain/{_CHAIN}) : {m['try_vel_pass_us']:8.1f} us  [{K} keylines]")
+    print(f"bare [K,8] row-gather chain     : {m['gather_chain_us']:8.1f} us/link")
+    print(f"  % of pass at gather ceiling   : {100.0 * m['gather_ceiling_fraction']:8.1f} %")
     print(f"  VPU+MXU flops                 : {m['tflops']:.3f} TFLOP/s")
 
 
