@@ -173,12 +173,17 @@ class PipelineConfig:
     # ("tube" requires df_mode == "jfa".)
     df_mode: str = "jfa"
     matcher: str = "tube"
-    # JFA field resolution divisor (df_mode "jfa" only; must be 1 for
-    # "raster").  2 = half-resolution auxiliary field: 4x less field traffic;
-    # the field only *proposes* candidate keylines — all gates and residuals
-    # use the exact keyline fields — so the cost is an occasional
-    # nearest-keyline proposal swap within ~field_scale pixels.
-    field_scale: int = 1
+    # JFA field resolution divisor (df_mode "jfa" only; ignored by
+    # "raster").  2 = half-resolution auxiliary field: 4x less field traffic
+    # and a 4x smaller gather table for every tracker/matcher lookup; the
+    # field only *proposes* candidate keylines — all gates and residuals use
+    # the exact keyline fields — so the cost is an occasional nearest-
+    # keyline proposal swap within ~field_scale pixels.  Default 2: measured
+    # against the real reference implementation's golden trajectory the
+    # parity profile tracks it at 0.035 m cross-ATE over a 2.24 m span
+    # (0.022 at scale 1, both ~1% of span; scale 4 degrades to 0.124 and is
+    # rejected — see tests/test_reference_anchor.py).
+    field_scale: int = 2
 
     @property
     def kmax(self) -> int:

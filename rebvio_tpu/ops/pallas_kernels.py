@@ -132,12 +132,22 @@ def try_vel_pallas(
     projection/gates/JtJ math runs in VMEM with the [N,8] table resident,
     and the candidate row is fetched with a per-lane `jnp.take`.
 
-    Outcome on v5e (see README): Mosaic lowers the per-lane dynamic gather
-    through its serialized path — there is no vector-gather unit — so the
-    compiled kernel is NOT faster than the XLA gather lowering; the XLA
-    formulation already sits at the device's gather speed of light.  Kept
-    as the measurement artifact + interpret-mode-verified reference of the
-    fused formulation.
+    Outcome on v5e (jax 0.9 Mosaic): the kernel does NOT compile — there is
+    no vector-gather unit, and Mosaic's only gather lowering is a same-size
+    per-element shuffle.  Two formulations were attempted and rejected at
+    lowering time:
+      * [B] indices -> [B,8] row gather (jnp.take, axis=0):
+        "ValueError: Shape mismatch in input, indices and output"
+        (_gather_lowering_rule, mosaic/lowering.py:2484)
+      * [8,B] take_along_axis on the transposed [8,N] table:
+        "assert indices_aval.shape == in_aval.shape + (1,)"
+        (mosaic/lowering.py:2493 — indices must have the OPERAND's shape,
+        i.e. only full same-shape shuffles lower).
+    So XLA's gather lowering is the ceiling for this access pattern — which
+    tools/roofline.py already demonstrates directly: the XLA tryVel pass
+    runs at ~100% of the bare dependent row-gather chain latency.  Kept as
+    the interpret-mode-verified artifact of the fused formulation (see
+    tests/test_tracker.py::test_pallas_try_vel_matches_xla).
 
     Returns (score[1,1] per block summed, JtJ[4,4], residuals, mif) like
     tracker.try_vel's TryVelOut fields (JtJ packed with JtF as G[4,4]).
@@ -154,7 +164,7 @@ def try_vel_pallas(
     assert K % block == 0
 
     def kernel(pos_img_ref, rho_ref, sr_ref, grad_ref, gn_ref, use_ref,
-               res_in_ref, vel_ref, att_ref, score_ref, G_ref, res_ref, mif_ref):
+               res_in_ref, vel_ref, att_ref, G_ref, res_ref, mif_ref):
         b = pl.program_id(0)
         vel0, vel1, vel2 = vel_ref[0], vel_ref[1], vel_ref[2]
         use = use_ref[:] > 0.5
@@ -185,13 +195,18 @@ def try_vel_pallas(
         else:
             fidx = ys * W + xs
 
-        row8 = jnp.take(att_ref[:], fidx, axis=0)  # [B,8] (indices pre-clipped)
+        # Mosaic's gather lowering only accepts same-shape gathers
+        # (indices.shape == output.shape), so the [B]->[B,8] row gather is
+        # expressed as take_along_axis on the transposed [8,N] table with
+        # the indices broadcast to [8,B].
+        idx2 = jnp.broadcast_to(fidx[None, :], (8, fidx.shape[0]))
+        row8t = jnp.take_along_axis(att_ref[:], idx2, axis=1)  # [8,B]
 
-        fid = jnp.where(lookup_ok, row8[:, 2].astype(jnp.int32), -1)
+        fid = jnp.where(lookup_ok, row8t[2, :].astype(jnp.int32), -1)
         has_df = fid >= 0
-        gNx, gNy = row8[:, 3], row8[:, 4]
-        gnN = row8[:, 5]
-        posNx, posNy = row8[:, 6], row8[:, 7]
+        gNx, gNy = row8t[3, :], row8t[4, :]
+        gnN = row8t[5, :]
+        posNx, posNy = row8t[6, :], row8t[7, :]
         gx, gy = grad_ref[:, 0], grad_ref[:, 1]
         dot = gNx * gx + gNy * gy
         n2 = gnN * gnN
@@ -206,7 +221,7 @@ def try_vel_pallas(
         fi = dx * ux + dy * uy
         f0 = jnp.where(matched, fi * inv_sr, R * inv_sr)
         f = f0 * weight
-        score_ref[0, 0] = jnp.sum(jnp.where(use, f * f, 0.0))
+        score = jnp.sum(jnp.where(use, f * f, 0.0))
 
         m = matched & use
         df_dx = jnp.where(m, ux * inv_sr, 0.0)
@@ -215,7 +230,12 @@ def try_vel_pallas(
         jy = rho_p * fm * df_dy * weight
         jz = -rho_p * (p_x * df_dx + p_y * df_dy) * weight
         Jm = jnp.stack([jx, jy, jz, jnp.where(m, f, 0.0)], axis=-1)
-        G_ref[0, :, :] = jnp.dot(Jm.T, Jm, preferred_element_type=jnp.float32)
+        G = jnp.dot(Jm.T, Jm, preferred_element_type=jnp.float32)
+        # score + G packed into one (8,128)-tile output block (TPU block
+        # shapes must tile to (8,128) or match the array)
+        out = jnp.zeros((8, 128), jnp.float32)
+        out = out.at[0:4, 0:4].set(G).at[4, 0].set(score)
+        G_ref[0, :, :] = out
         res_ref[:] = jnp.where(m, jnp.abs(fi), residuals_b)
         mif_ref[:] = jnp.where(m, fid, -1)
 
@@ -226,7 +246,7 @@ def try_vel_pallas(
     bspec = lambda *shape: pl.BlockSpec(
         shape, lambda b: tuple(b if i == 0 else 0 for i in range(len(shape))),
         memory_space=pltpu.VMEM)
-    score, G, res, mif = pl.pallas_call(
+    G, res, mif = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -235,20 +255,19 @@ def try_vel_pallas(
             bspec(block, 2), bspec(block,),  # grad, grad_norm
             bspec(block,), bspec(block,),    # use, residuals_in
             pl.BlockSpec(memory_space=pltpu.SMEM),  # vel [3]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # att table (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # att table [8,N] (full)
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4, 4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             bspec(block,), bspec(block,),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 4, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((K,), jnp.float32),
             jax.ShapeDtypeStruct((K,), jnp.int32),
         ],
         interpret=interpret,
     )(old.pos_img, old.rho, old.sigma_rho, old.grad, old.grad_norm,
-      use_f, residuals, vel, att)
-    return score.sum(), G.sum(axis=0), res, mif
+      use_f, residuals, vel, att.T)
+    Gp = G.sum(axis=0)
+    return Gp[4, 0], Gp[0:4, 0:4], res, mif

@@ -95,7 +95,8 @@ def estimate(
         field_ids = new_map.att_img  # attribute field, built in detect_frame
         field_scale = config.field_scale
     else:
-        assert config.field_scale == 1, "raster field requires field_scale=1"
+        # the rasterized reference field is always full-resolution;
+        # config.field_scale only applies to the JFA field
         field = DF.build_distance_field(
             new_map, int(core_cfg.search_range), cam.rows, cam.cols
         )

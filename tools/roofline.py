@@ -26,7 +26,10 @@ import time
 
 import numpy as np
 
-_CHAIN = 32
+# Chain length: the remote backend's dispatch floor fluctuates by O(ms)
+# between measurements, so per-link numbers need a long chain to dilute the
+# floor error (128 links -> ~10 us/link of floor noise).
+_CHAIN = 128
 
 
 def fence(x):

@@ -37,9 +37,27 @@ def main():
     ap.add_argument("--frames", type=int, default=16,
                     help="frames per sequence per timing pass")
     ap.add_argument("--profile", default="fast", choices=["fast", "parity", "tiny"])
+    ap.add_argument("--platform", default=None, choices=[None, "cpu"],
+                    help="force backend (cpu for harness validation)")
+    ap.add_argument("--virtual-devices", type=int, default=0,
+                    help="CPU-only: number of virtual devices (sets "
+                         "xla_force_host_platform_device_count in-process — "
+                         "shell-level XLA_FLAGS are not seen by this "
+                         "container's interpreter boot)")
     args = ap.parse_args()
 
+    import os
+
+    if args.virtual_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual_devices}"
+        ).strip()
+
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from rebvio_tpu import types as T
