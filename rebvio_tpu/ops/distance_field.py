@@ -15,12 +15,24 @@ last-writer-wins tie order.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from rebvio_tpu import types as T
+
+
+def _use_pallas_jfa() -> bool:
+    """Pallas JFA kernel on TPU (REBVIO_PALLAS_JFA=0/1 overrides; default
+    auto).  Measured 2.3x faster than the XLA roll/select formulation at the
+    half-res field geometry (tools/jfa_ab.py) — the whole flood runs in one
+    kernel with every plane VMEM-resident."""
+    v = os.environ.get("REBVIO_PALLAS_JFA", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() == "tpu"
 
 
 def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:
@@ -164,30 +176,26 @@ def _jfa_state(
         s //= 2
     steps.append(1)  # extra refinement pass (JFA+1)
 
-    # One roll-compare-select body driven by a (dy, dx) schedule keeps the
-    # compiled graph small (a fori_loop instead of 50+ unrolled passes).
-    # jnp.roll wraps around, but wrapped candidates carry their *absolute*
-    # seed coordinates from the far edge, so the distance metric rejects
-    # them automatically — no border fill needed.
-    sched = []
+    # Textbook parallel-direction JFA: within a step, all 8 candidate rolls
+    # read the SAME input state and a best-of-9 select writes the output, so
+    # the dependent chain is len(steps) (~6) deep instead of 8x that — the
+    # loop is op-LATENCY-bound, and the rolls of one step pipeline freely.
+    # Static shifts keep each roll a pure slice+concat the scheduler can
+    # fuse into the select chain.  jnp.roll wraps around, but wrapped
+    # candidates carry their *absolute* seed coordinates from the far edge,
+    # so the distance metric rejects them automatically — no border fill.
     for s in steps:
+        best = state
         for dy in (-s, 0, s):
             for dx in (-s, 0, s):
                 if dy == 0 and dx == 0:
                     continue
-                sched.append((dy, dx))
-    dys = jnp.asarray([d[0] for d in sched], jnp.int32)
-    dxs = jnp.asarray([d[1] for d in sched], jnp.int32)
-
-    def body(i, st):
-        cand = jnp.roll(st, (dys[i], dxs[i]), (1, 2))
-        cpk = cand[0]
-        cd2 = jnp.where(cpk > 0, d2_of(cpk), BIG)
-        better = cd2 < st[1]
-        cand = cand.at[1].set(cd2)
-        return jnp.where(better[None], cand, st)
-
-    state = jax.lax.fori_loop(0, len(sched), body, state)
+                cand = jnp.roll(state, (dy, dx), (1, 2))
+                cd2 = jnp.where(cand[0] > 0, d2_of(cand[0]), BIG)
+                better = cd2 < best[1]
+                cand = cand.at[1].set(cd2)
+                best = jnp.where(better[None], cand, best)
+        state = best
     return state
 
 
@@ -236,6 +244,10 @@ def build_att_field(
     rotated values replay the rotation analytically).  id lane is -1 outside
     ``search_range``.
     """
+    if _use_pallas_jfa():
+        from rebvio_tpu.ops.pallas_kernels import att_field_pallas
+
+        return att_field_pallas(em, search_range, rows, cols, scale)
     sr = search_range if scale == 1 else max(1, round(search_range / scale))
     payload = [
         jnp.arange(em.kmax, dtype=jnp.float32),

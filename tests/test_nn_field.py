@@ -56,6 +56,80 @@ def test_jfa_respects_threshold_gate():
     assert not (present & gated_out)
 
 
+def test_pallas_att_field_matches_contract():
+    # The attribute-field kernel: id lane distance-correct vs brute force,
+    # and every payload lane exactly the chosen keyline's detection fields.
+    from rebvio_tpu.ops.pallas_kernels import att_field_pallas
+
+    rng = np.random.RandomState(3)
+    H, W, K, kmax, R = 40, 56, 36, 64, 8
+    em, d = make_random_map(rng, K, kmax, H, W)
+    att = np.asarray(att_field_pallas(em, R, H, W, scale=1, interpret=True))
+    got = att[:, DF.ATT_ID].astype(np.int32).reshape(H, W)
+    want = _brute_nn(np.asarray(em.pos), np.asarray(em.valid), H, W, R)
+    pos = np.asarray(em.pos)
+    grad = np.asarray(em.grad)
+    gn = np.asarray(em.grad_norm)
+    mismatch = 0
+    for y in range(H):
+        for x in range(W):
+            g, w = got[y, x], want[y, x]
+            if (g < 0) != (w < 0):
+                mismatch += 1
+                continue
+            if g >= 0:
+                i = y * W + x
+                assert np.allclose(att[i, DF.ATT_GX:DF.ATT_GX + 2], grad[g])
+                assert abs(att[i, DF.ATT_GN] - gn[g]) < 1e-5 * max(1.0, gn[g])
+                assert np.allclose(att[i, DF.ATT_POSX:DF.ATT_POSX + 2], pos[g])
+                assert att[i, DF.ATT_D2] <= R * R + 1e-3
+            if g == w:
+                continue
+            dg = (pos[g, 0] - x) ** 2 + (pos[g, 1] - y) ** 2
+            dw = (pos[w, 0] - x) ** 2 + (pos[w, 1] - y) ** 2
+            if abs(dg - dw) > 1e-3:
+                mismatch += 1
+    assert mismatch <= 0.002 * H * W, mismatch
+
+
+def test_pallas_att_field_scale_matches_xla():
+    # At scale 2 the Pallas kernel must agree with the XLA formulation's
+    # contract: scaled-grid metric, full-res pos payload.
+    import os
+
+    from rebvio_tpu.ops.pallas_kernels import att_field_pallas
+
+    rng = np.random.RandomState(4)
+    H, W, K, kmax, R = 48, 64, 40, 64, 10
+    em, d = make_random_map(rng, K, kmax, H, W)
+    os.environ["REBVIO_PALLAS_JFA"] = "0"
+    try:
+        ref = np.asarray(DF.build_att_field(em, R, H, W, scale=2))
+    finally:
+        os.environ.pop("REBVIO_PALLAS_JFA", None)
+    got = np.asarray(att_field_pallas(em, R, H, W, scale=2, interpret=True))
+    pos = np.asarray(em.pos)
+    Hs, Ws = H // 2, W // 2
+    mismatch = 0
+    for i in range(Hs * Ws):
+        gid = int(got[i, DF.ATT_ID])
+        rid = int(ref[i, DF.ATT_ID])
+        if gid >= 0:
+            assert np.allclose(got[i, DF.ATT_POSX:DF.ATT_POSX + 2], pos[gid])
+        if gid == rid:
+            continue
+        if (gid < 0) != (rid < 0):
+            mismatch += 1
+            continue
+        y, x = i // Ws, i % Ws
+        dg = (pos[gid, 0] / 2 - x) ** 2 + (pos[gid, 1] / 2 - y) ** 2
+        dr = (pos[rid, 0] / 2 - x) ** 2 + (pos[rid, 1] / 2 - y) ** 2
+        # the XLA field quantizes seeds to 1/q px; allow that band
+        if abs(dg - dr) > 0.6:
+            mismatch += 1
+    assert mismatch <= 0.005 * Hs * Ws, mismatch
+
+
 def test_pallas_jfa_matches_xla_jfa():
     # The Pallas kernel keeps the exact subpixel metric; the XLA JFA packs
     # seed coords as fixed-point (<= 0.25 px quantization) to roll one plane
