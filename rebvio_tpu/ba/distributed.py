@@ -93,7 +93,7 @@ def make_distributed_optimize(mesh: Mesh, iters: int = 10, huber_delta: float = 
     replicated poses; the only cross-device communication is the psum of
     (S, rhs, cost) per iteration.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     pspec = bap.BAProblem(
         R=P(), t=P(),
@@ -147,6 +147,6 @@ def make_distributed_optimize(mesh: Mesh, iters: int = 10, huber_delta: float = 
         sharded_fn, mesh=mesh,
         in_specs=(pspec,),
         out_specs=(pspec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

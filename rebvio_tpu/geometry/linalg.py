@@ -9,6 +9,7 @@ jit-safe.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -48,6 +49,35 @@ def svd_solve(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-9) -> jnp.ndarra
     cutoff = rcond * jnp.max(s)
     s_inv = jnp.where(s > cutoff, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
     return Vt.T @ (s_inv * (U.T @ b))
+
+
+def gj_inverse(m: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled pivot-free Gauss-Jordan inverse for small PD matrices.
+
+    Built from ops Mosaic can lower (concatenate, iota masks, broadcasts) so
+    it runs inside Pallas kernels where jnp.linalg's LAPACK-style custom
+    calls cannot (pallas_kernels.estimate_bias_pallas).  Pivot-free matches
+    the reference's unpivoted TooN::Cholesky failure mode: non-PD input
+    yields inf/NaN instead of raising.
+    """
+    n = m.shape[-1]
+    a = jnp.concatenate([m, jnp.eye(n, dtype=m.dtype)], axis=-1)  # [n,2n]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * n), 0)
+    for i in range(n):
+        piv_row = a[i:i + 1, :] / a[i:i + 1, i:i + 1]   # [1,2n]
+        fac = a[:, i:i + 1]                              # [n,1]
+        a = a - fac @ piv_row
+        a = jnp.where(rows == i, piv_row, a)             # restore pivot row
+    return a[:, n:]
+
+
+def gj_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pallas-lowerable solve with sym_solve's semantics (finite-but-singular
+    input -> zeros; non-finite input -> NaN propagates)."""
+    x = (gj_inverse(A) @ b[:, None])[:, 0]
+    inputs_finite = jnp.all(jnp.isfinite(A)) & jnp.all(jnp.isfinite(b))
+    singular = inputs_finite & ~jnp.all(jnp.isfinite(x))
+    return jnp.where(singular, jnp.zeros_like(x), x)
 
 
 def sym_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -19,6 +19,12 @@ import numpy as np
 from rebvio_tpu import types as T
 
 
+def _auto_interpret(interpret: bool) -> bool:
+    """Compiled Mosaic on TPU; interpreter everywhere else (lets the CPU test
+    suite exercise the exact kernel bodies by forcing REBVIO_PALLAS_*=1)."""
+    return interpret or jax.default_backend() != "tpu"
+
+
 def _jfa_schedule(search_range: int):
     steps = []
     s = 1
@@ -105,7 +111,7 @@ def nn_field_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(sid0, sy0, sx0)
     return out.reshape(-1)
 
@@ -221,9 +227,117 @@ def att_field_pallas(
         out_shape=jax.ShapeDtypeStruct((8, rows, cols), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(sy0, sx0, id0, gx0, gy0)
     return out.reshape(8, n).T
+
+
+def try_vel_math_pallas(
+    att8,          # [8, Kr, 128] gathered attribute rows, transposed
+    p_x, p_y,      # [Kr, 128] projected coords (principal-point-centered)
+    rho_p,         # [Kr, 128]
+    ok,            # [Kr, 128] f32 lookup-ok mask
+    inv_sr,        # [Kr, 128]
+    gxo, gyo,      # [Kr, 128] old-map gradient
+    use,           # [Kr, 128] f32 participation mask
+    residuals,     # [Kr, 128] previous-pass residuals (Huber reweight source)
+    cfg,
+    cam,
+    interpret: bool = False,
+):
+    """Post-gather half of a tryVel pass as ONE Pallas kernel.
+
+    The XLA formulation of try_vel (ops/tracker.py) compiles to a dozen-plus
+    kernels per pass (stacks, selects, the [K,4]^T[K,4] matmul, small
+    reductions), and the LM loop runs 6 dependent passes — at ~7 us of
+    launch+latency per kernel that is ~115 us/pass of pure overhead on top
+    of the ~30 us row gather (tools/micro_bench.py: 145 us/pass at 8k
+    keylines).  Mosaic cannot lower the data-dependent row gather itself
+    (see try_vel_pallas below), so the split is: XLA computes the projection
+    + gathers the [K,8] attribute rows (one fusion + one gather kernel), and
+    this kernel does every op after the gather — gates, Huber reweight,
+    residual, score, and the fused JtJ/JtF reduction — in one launch.
+
+    Returns (Gs [8,128] with G[0:4,0:4] and score at [4,0], residuals_out,
+    mif int32).  Reference semantics: core.cpp:78-148 (see tracker.try_vel).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = float(cfg.search_range)
+    rw = float(cfg.reweight_distance)
+    mthr = float(cfg.match_threshold)
+    fm = float(cam.fm)
+    cx = float(cam.cx)
+    cy = float(cam.cy)
+
+    def kernel(att_ref, px_ref, py_ref, rhop_ref, ok_ref, isr_ref,
+               gxo_ref, gyo_ref, use_ref, res_ref, gs_ref, rout_ref, mif_ref):
+        idf = att_ref[2]
+        gNx, gNy, gnN = att_ref[3], att_ref[4], att_ref[5]
+        posNx, posNy = att_ref[6], att_ref[7]
+        ok_m = ok_ref[:] > 0.5
+        use_m = use_ref[:] > 0.5
+        inv_sr_ = isr_ref[:]
+        p_x = px_ref[:]
+        p_y = py_ref[:]
+        p_xc_ = p_x + cx
+        p_yc_ = p_y + cy
+        rho_p_ = rhop_ref[:]
+
+        fid_ok = ok_m & (idf >= 0)
+        dot = gNx * gxo_ref[:] + gNy * gyo_ref[:]
+        n2 = gnN * gnN
+        sim_ok = jnp.abs(dot - n2) <= mthr * n2
+        matched = fid_ok & sim_ok
+
+        res_in = res_ref[:]
+        weight = jnp.where(res_in > rw, rw / res_in, 1.0)
+        gnN_safe = jnp.where(gnN > 0, gnN, 1.0)
+        ux = gNx / gnN_safe
+        uy = gNy / gnN_safe
+        fi = (p_xc_ - posNx) * ux + (p_yc_ - posNy) * uy
+        f0 = jnp.where(matched, fi * inv_sr_, R * inv_sr_)
+        f = f0 * weight
+        score = jnp.sum(jnp.where(use_m, f * f, 0.0))
+
+        m = matched & use_m
+        df_dx = jnp.where(m, ux * inv_sr_, 0.0)
+        df_dy = jnp.where(m, uy * inv_sr_, 0.0)
+        jx = rho_p_ * fm * df_dx * weight
+        jy = rho_p_ * fm * df_dy * weight
+        jz = -rho_p_ * (p_x * df_dx + p_y * df_dy) * weight
+        fmk = jnp.where(m, f, 0.0)
+
+        # Scatter/stack of scalars does not lower in Mosaic; place the 16
+        # Gram entries + score into the [8,128] output via iota masks.
+        cols4 = (jx, jy, jz, fmk)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        out = jnp.where((ri == 4) & (ci == 0), score, 0.0)
+        for a in range(4):
+            for b in range(a, 4):
+                v = jnp.sum(cols4[a] * cols4[b])
+                out = out + jnp.where((ri == a) & (ci == b), v, 0.0)
+                if a != b:
+                    out = out + jnp.where((ri == b) & (ci == a), v, 0.0)
+        gs_ref[:, :] = out
+        rout_ref[:, :] = jnp.where(m, jnp.abs(fi), res_in)
+        mif_ref[:, :] = jnp.where(m, idf, -1.0).astype(jnp.int32)
+
+    Kr = p_x.shape[0]
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Kr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Kr, 128), jnp.int32),
+        ],
+        in_specs=[vspec] * 10,
+        out_specs=[vspec] * 3,
+        interpret=_auto_interpret(interpret),
+    )(att8, p_x, p_y, rho_p, ok, inv_sr, gxo, gyo, use, residuals)
 
 
 def try_vel_pallas(
@@ -382,7 +496,7 @@ def try_vel_pallas(
             jax.ShapeDtypeStruct((K,), jnp.float32),
             jax.ShapeDtypeStruct((K,), jnp.int32),
         ],
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(old.pos_img, old.rho, old.sigma_rho, old.grad, old.grad_norm,
       use_f, residuals, vel, att.T)
     Gp = G.sum(axis=0)

@@ -13,6 +13,7 @@ keylines contribute the same saturation residual as the reference
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -23,6 +24,16 @@ from rebvio_tpu import types as T
 from rebvio_tpu.configs import CameraConfig, CoreConfig
 from rebvio_tpu.geometry import linalg
 from rebvio_tpu.ops.matching import estimate_quantile
+
+
+def _use_pallas_tryvel(kmax: int) -> bool:
+    """Post-gather tryVel math as one Pallas kernel on TPU (the XLA pass is
+    launch-latency-bound at a dozen-plus kernels; see
+    pallas_kernels.try_vel_math_pallas).  REBVIO_PALLAS_TRYVEL=0/1 overrides."""
+    v = os.environ.get("REBVIO_PALLAS_TRYVEL", "auto")
+    if v in ("0", "1"):
+        return v == "1" and kmax % 128 == 0
+    return jax.default_backend() == "tpu" and kmax % 128 == 0
 
 
 class TryVelOut(NamedTuple):
@@ -108,6 +119,26 @@ def try_vel(
         fidx = (ys // field_scale) * Wf + (xs // field_scale)
     else:
         fidx = ys * W + xs
+    if att_f is not None and _use_pallas_tryvel(kmax):
+        # hybrid pass: XLA projection + row gather (fuses to ~2 kernels),
+        # then ALL post-gather math — gates, Huber reweight, residual,
+        # score, fused JtJ/JtF reduction — as ONE Pallas kernel
+        # (pallas_kernels.try_vel_math_pallas; the all-XLA pass is
+        # launch-latency-bound at 145 us vs a ~30 us gather).
+        from rebvio_tpu.ops.pallas_kernels import try_vel_math_pallas
+
+        row8 = att_f[fidx]
+        Kr = kmax // 128
+        rs = lambda a: a.reshape(Kr, 128)
+        att8 = row8.T.reshape(8, Kr, 128)
+        Gs, res2, mif2 = try_vel_math_pallas(
+            att8, rs(p_x), rs(p_y), rs(rho_p),
+            rs(lookup_ok.astype(jnp.float32)), rs(inv_sr),
+            rs(old.grad[:, 0]), rs(old.grad[:, 1]),
+            rs(use.astype(jnp.float32)), rs(residuals), cfg, cam,
+        )
+        return TryVelOut(Gs[4, 0], Gs[0:3, 0:3], Gs[0:3, 3],
+                         res2.reshape(-1), mif2.reshape(-1))
     if att_f is not None:
         # single-gather path: one [K,8] attribute row per keyline
         from rebvio_tpu.ops.distance_field import (

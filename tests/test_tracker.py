@@ -249,6 +249,54 @@ def test_ext_rot_vel_nan_propagates_and_singular_zeroes():
     assert np.any(np.isnan(np.asarray(linalg.sym_solve(An, b))))
 
 
+def test_hybrid_pallas_try_vel_matches_xla():
+    """The production hybrid pass (XLA projection+gather, post-gather math as
+    one Pallas kernel) must reproduce the all-XLA tracker.try_vel."""
+    import os
+
+    import jax.numpy as jnp
+
+    from rebvio_tpu.configs import (
+        CameraConfig, CoreConfig, EdgeDetectorConfig, PipelineConfig,
+    )
+    from rebvio_tpu.data import synthetic
+    from rebvio_tpu.ops import distance_field as DF, edge_detect
+    from rebvio_tpu.pipeline import frontend_matrices
+
+    cam_c = CameraConfig(rows=120, cols=188, fx=114.6, fy=114.3, cx=91.8,
+                         cy=62.1, k1=0, k2=0, k3=0, p1=0, p2=0)
+    det = EdgeDetectorConfig(keylines_max=2048, keylines_ref=1200)
+    core = CoreConfig(search_range=10)
+    cfg = PipelineConfig(camera=cam_c, detector=det, core=core)
+    mats = frontend_matrices(cfg)
+    seq = synthetic.generate(cam_c, n_frames=2, seed=0)
+    m0 = edge_detect.detect(jnp.asarray(seq.images[0] * 3.0), jnp.float32(0.01),
+                            mats, det, cam_c)
+    m1 = edge_detect.detect(jnp.asarray(seq.images[1] * 3.0), jnp.float32(0.01),
+                            mats, det, cam_c)
+    att = DF.build_att_field(m1, int(core.search_range), cam_c.rows, cam_c.cols, 1)
+    vel = jnp.asarray([0.005, -0.002, 0.01], jnp.float32)
+    srm = jnp.float32(30.0)
+    rng = np.random.RandomState(7)
+    res0 = jnp.asarray(np.abs(rng.randn(det.keylines_max)).astype(np.float32) * 3)
+
+    want = tracker.try_vel(m0, m1, att, vel, srm, res0, core, cam_c, att_f=att)
+    os.environ["REBVIO_PALLAS_TRYVEL"] = "1"
+    try:
+        got = tracker.try_vel(m0, m1, att, vel, srm, res0, core, cam_c, att_f=att)
+    finally:
+        os.environ.pop("REBVIO_PALLAS_TRYVEL", None)
+    np.testing.assert_allclose(float(got.score), float(want.score), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.JtJ), np.asarray(want.JtJ),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.JtF), np.asarray(want.JtF),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.match_id_forward),
+                                  np.asarray(want.match_id_forward))
+    np.testing.assert_allclose(np.asarray(got.residuals),
+                               np.asarray(want.residuals), rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_try_vel_matches_xla():
     """The fused Pallas tryVel (north-star attempt; kept as the measurement
     artifact — see its docstring) must reproduce tracker.try_vel exactly in
