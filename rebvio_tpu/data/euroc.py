@@ -227,13 +227,15 @@ def load(root: str, start_s: Optional[float] = None, end_s: Optional[float] = No
     gt_ts = gt_pos = None
     gt_csv = os.path.join(mav, "state_groundtruth_estimate0", "data.csv")
     if os.path.exists(gt_csv):
-        rows = []
+        # NB: must not be named `rows` — that would shadow the image-height
+        # parameter consumed by EurocSequence below (round-2 bug).
+        gt_rows = []
         with open(gt_csv) as f:
             for row in csv.reader(f):
                 if not row or row[0].startswith("#"):
                     continue
-                rows.append([int(row[0]) // 1000] + [float(x) for x in row[1:4]])
-        arr = np.asarray(rows)
+                gt_rows.append([int(row[0]) // 1000] + [float(x) for x in row[1:4]])
+        arr = np.asarray(gt_rows)
         gt_ts = arr[:, 0].astype(np.int64)
         gt_pos = arr[:, 1:4].astype(np.float32)
 

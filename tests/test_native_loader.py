@@ -73,6 +73,86 @@ def test_native_loader_matches_python_decoder(tmp_path):
     np.testing.assert_allclose(ld.next(), img.astype(np.float32))
 
 
+def _write_asl_tree(tmp_path, cam, seq, n_frames, with_gt):
+    """Write a synthetic sequence as an ASL-format directory tree, optionally
+    with a state_groundtruth_estimate0 CSV (real EuRoC sequences always have
+    one — the round-2 rows-shadowing bug only manifested on GT-bearing
+    trees)."""
+    data_dir = tmp_path / "mav0" / "cam0" / "data"
+    data_dir.mkdir(parents=True)
+    with open(tmp_path / "mav0" / "cam0" / "data.csv", "w") as f:
+        f.write("#ts,filename\n")
+        for i in range(n_frames):
+            name = f"{int(seq.ts_us[i]) * 1000}.png"
+            _write_png_gray(str(data_dir / name),
+                            seq.images[i].astype(np.uint8), filt=(i % 2) * 2)
+            f.write(f"{int(seq.ts_us[i]) * 1000},{name}\n")
+    imu_dir = tmp_path / "mav0" / "imu0"
+    imu_dir.mkdir(parents=True)
+    with open(imu_dir / "data.csv", "w") as f:
+        f.write("#ts,gx,gy,gz,ax,ay,az\n")
+        for k in range(len(seq.imu_ts_us)):
+            g, a = seq.imu_gyro[k], seq.imu_acc[k]
+            f.write(f"{int(seq.imu_ts_us[k]) * 1000},{g[0]},{g[1]},{g[2]},"
+                    f"{a[0]},{a[1]},{a[2]}\n")
+    if with_gt:
+        gt_dir = tmp_path / "mav0" / "state_groundtruth_estimate0"
+        gt_dir.mkdir(parents=True)
+        with open(gt_dir / "data.csv", "w") as f:
+            f.write("#ts,px,py,pz,qw,qx,qy,qz\n")
+            for i in range(n_frames):
+                p = seq.gt_pos[i]
+                f.write(f"{int(seq.ts_us[i]) * 1000},{p[0]},{p[1]},{p[2]},"
+                        f"1,0,0,0\n")
+
+
+def test_euroc_load_preserves_image_geometry_with_groundtruth(tmp_path):
+    """Regression for the round-2 rows-shadowing bug (VERDICT.md weak #2):
+    the GT CSV accumulator overwrote the `rows` image-height parameter, so
+    euroc.load returned the GT row list as EurocSequence.rows on every
+    GT-bearing sequence."""
+    from rebvio_tpu.configs import CameraConfig
+    from rebvio_tpu.data import euroc, synthetic
+
+    cam = CameraConfig(rows=120, cols=188, fx=114.6, fy=114.3, cx=91.8, cy=62.1,
+                       k1=0, k2=0, k3=0, p1=0, p2=0)
+    seq = synthetic.generate(cam, n_frames=4, seed=0)
+    _write_asl_tree(tmp_path, cam, seq, 4, with_gt=True)
+
+    ds = euroc.load(str(tmp_path), rows=cam.rows, cols=cam.cols)
+    assert isinstance(ds.rows, int) and ds.rows == cam.rows
+    assert isinstance(ds.cols, int) and ds.cols == cam.cols
+    assert ds.gt_ts_us is not None and len(ds.gt_ts_us) == 4
+    np.testing.assert_allclose(ds.gt_pos, seq.gt_pos[:4], rtol=1e-6)
+
+
+@pytest.mark.skipif(not native_loader.available(), reason="native lib not built")
+def test_run_cli_euroc_groundtruth_end_to_end(tmp_path, capsys):
+    """Product-path proof (VERDICT.md round-2 item 2): `run.py --dataset
+    euroc` over a GT-bearing ASL tree, streamed through the native prefetch
+    ring, completes and emits ate_sim3 — the analogue of the reference's
+    dataset regression entry point (ros_rebvio.cpp:89-126)."""
+    import json
+
+    from rebvio_tpu import run as run_mod
+    from rebvio_tpu.configs import CameraConfig
+    from rebvio_tpu.data import synthetic
+
+    cam = CameraConfig(rows=120, cols=188, fx=114.6, fy=114.3, cx=91.8, cy=62.1,
+                       k1=0, k2=0, k3=0, p1=0, p2=0)
+    seq = synthetic.generate(cam, n_frames=8, seed=0)
+    _write_asl_tree(tmp_path, cam, seq, 8, with_gt=True)
+
+    rc = run_mod.main([
+        "--dataset", "euroc", "--root", str(tmp_path), "--preset", "small",
+        "--mode", "vio", "--loader", "native",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["frames"] == 8
+    assert "ate_sim3" in out and np.isfinite(out["ate_sim3"])
+
+
 @pytest.mark.skipif(not native_loader.available(), reason="native lib not built")
 def test_euroc_dataset_streams_through_native_loader(tmp_path):
     """Product-path integration (VERDICT.md round-1 item 5): euroc.load ->
