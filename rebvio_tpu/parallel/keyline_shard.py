@@ -58,21 +58,32 @@ def _quantile_sharded(em: T.EdgeMap, percentile: float, num_bins: int, axis: str
     return jnp.where(jnp.any(found), val, jnp.float32(1e3))
 
 
-def make_minimize_vel_sharded(mesh: Mesh, cfg: CoreConfig, cam: CameraConfig):
-    """Returns a jitted (old_map_sharded, new_map_repl, field_ids) ->
-    (vel, Rvel, old_map_sharded, score) function."""
+def make_minimize_vel_sharded(mesh: Mesh, cfg: CoreConfig, cam: CameraConfig,
+                              field_scale: int = 1, use_att: bool = False):
+    """Returns a jitted (old_map_sharded, new_map_repl, field) ->
+    (vel, Rvel, old_map_sharded, score) function.
+
+    With ``use_att`` the replicated ``field`` argument is the [N,8]
+    nearest-keyline attribute field (distance_field.build_att_field) and each
+    device runs the product single-gather/Pallas-hybrid tryVel on its keyline
+    shard — the same configuration as the unsharded pipeline (df_mode="jfa",
+    configs.py); otherwise it is the [N] id field (two chained gathers)."""
 
     old_spec = _edge_map_specs(True)
     new_spec = _edge_map_specs(False)
 
-    def fn(old: T.EdgeMap, new: T.EdgeMap, field_ids: jnp.ndarray):
+    def fn(old: T.EdgeMap, new: T.EdgeMap, field: jnp.ndarray):
         sigma_rho_min = _quantile_sharded(old, cfg.quantile_cutoff, cfg.quantile_num_bins, "kl")
         residuals = jnp.zeros((old.valid.shape[0],), jnp.float32)
-        new_pack = tracker.pack_target_fields(new)
+        if use_att:
+            att_f, new_pack, field_f = field, None, None
+        else:
+            att_f, new_pack, field_f = None, tracker.pack_target_fields(new), field.astype(jnp.float32)
 
         def eval_vel(vel, residuals):
             out = tracker.try_vel(
-                old, new, field_ids, vel, sigma_rho_min, residuals, cfg, cam, new_pack
+                old, new, field, vel, sigma_rho_min, residuals, cfg, cam,
+                new_pack, field_f, field_scale, att_f,
             )
             score = jax.lax.psum(out.score, "kl")
             JtJ = jax.lax.psum(out.JtJ, "kl")

@@ -23,6 +23,21 @@ N_PROCS = 2
 TIMEOUT_S = 420
 
 
+def test_pod_mesh_helpers():
+    """Mesh-construction helpers used by the workers (folded from the former
+    test_multihost.py; the real cross-process coverage is below)."""
+    import jax
+
+    from rebvio_tpu.parallel import multihost as MH
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = MH.make_pod_mesh(seq_parallel=2, inner_axis="lm")
+    assert mesh.shape == {"seq": 2, "lm": 4}
+    assert MH.local_batch_slice(8, mesh) == (0, 8)  # single process owns all
+    assert MH.make_pod_mesh(inner_axis="kl").shape["seq"] == 1
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
