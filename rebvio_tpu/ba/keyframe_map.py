@@ -41,12 +41,17 @@ class KeyframeMapBuilder:
     """Host-side accumulator; feed it each step's post-update edge map."""
 
     def __init__(self, config: PipelineConfig, kf_every: int = 5,
-                 min_track_len: int = 2, max_tracks_per_kf: int = 2000):
+                 min_track_len: int = 2, max_tracks_per_kf: int = 2000,
+                 store_maps: bool = False):
         self.config = config
         self.kf_every = kf_every
         self.min_track_len = min_track_len
         self.max_tracks_per_kf = max_tracks_per_kf
         self.keyframes: List[Keyframe] = []
+        # store_maps: keep each keyframe's full EdgeMap (device-resident) for
+        # loop-closure registration (ba/loop_closure.register_pair)
+        self.store_maps = store_maps
+        self.kf_maps: List = []
         self._track_of_slot: Optional[np.ndarray] = None
         self._next_track = 0
         self._frame = 0
@@ -89,6 +94,8 @@ class KeyframeMapBuilder:
                 obs_uv=pos_img / fm,
                 obs_rho=rho / max(K_scale, 1e-6),
             ))
+            if self.store_maps:
+                self.kf_maps.append(edge_map)
         self._frame += 1
 
     def n_keyframes(self) -> int:

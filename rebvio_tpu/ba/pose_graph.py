@@ -35,8 +35,13 @@ class PoseGraph(NamedTuple):
     f_j: jnp.ndarray       # [M] int32
     f_Rij: jnp.ndarray     # [M,3,3] measured relative rotation R_i^T R_j
     f_tij: jnp.ndarray     # [M,3] measured relative translation R_i^T (t_j - t_i)
-    f_w: jnp.ndarray       # [M] factor weight (1/sigma)
+    f_w: jnp.ndarray       # [M] rotation-residual weight (1/sigma)
     f_valid: jnp.ndarray   # [M] bool
+    # translation-residual weight; None -> use f_w for both components.
+    # Loop closures registered from edge-map pairs observe rotation much
+    # more strongly than (depth-limited) translation, so they get a split
+    # weight (ba/loop_closure.build_graph_from_run).
+    f_wt: jnp.ndarray = None
 
 
 def factors_from_trajectory(R, t, stride: int = 1, w: float = 1.0):
@@ -82,10 +87,15 @@ def optimize(g: PoseGraph, iters: int = 10, lam0: float = 1e-4,
         r, Ji, Jj = jax.vmap(_factor_jac)(
             gr.R[i], gr.t[i], gr.R[j], gr.t[j], g.f_Rij, g.f_tij
         )
-        w = jnp.where(g.f_valid, g.f_w, 0.0)
-        r = r * w[:, None]
-        Ji = Ji * w[:, None, None]
-        Jj = Jj * w[:, None, None]
+        w_rot = jnp.where(g.f_valid, g.f_w, 0.0)
+        w_tr = jnp.where(g.f_valid, g.f_w if g.f_wt is None else g.f_wt, 0.0)
+        wc = jnp.concatenate(
+            [jnp.broadcast_to(w_rot[:, None], w_rot.shape + (3,)),
+             jnp.broadcast_to(w_tr[:, None], w_tr.shape + (3,))], axis=1
+        )  # [M,6] per-component weights
+        r = r * wc
+        Ji = Ji * wc[:, :, None]
+        Jj = Jj * wc[:, :, None]
         H = jnp.zeros((F, 6, F, 6), jnp.float32)
         H = H.at[i, :, i, :].add(jnp.einsum("mci,mcj->mij", Ji, Ji))
         H = H.at[j, :, j, :].add(jnp.einsum("mci,mcj->mij", Jj, Jj))

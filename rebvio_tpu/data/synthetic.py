@@ -204,6 +204,7 @@ def generate(
     excitation: float = 2.2,
     distort: bool = False,
     imu_preroll_s: float = 0.0,
+    yaw_amp: float = 0.06,
 ) -> Sequence:
     """Full sequence: images at fps, IMU at imu_rate, exact ground truth.
 
@@ -220,7 +221,8 @@ def generate(
     rng = np.random.RandomState(seed)
     segs = make_segments(rng)
     tf = np.arange(n_frames) / fps
-    pos, R_wc, vel, acc, _ = trajectory(tf, speed=speed, excitation=excitation)
+    pos, R_wc, vel, acc, _ = trajectory(tf, speed=speed, yaw_amp=yaw_amp,
+                                        excitation=excitation)
 
     images = np.stack([
         render_frame(segs, pos[i], R_wc[i], cam, distort=distort)
@@ -232,7 +234,8 @@ def generate(
     # configured camera->IMU extrinsics, so emit measurements in IMU frame)
     n_imu = int((n_frames / fps + imu_preroll_s) * imu_rate)
     ti = np.arange(n_imu) / imu_rate - imu_preroll_s
-    _, R_wc_i, _, acc_i, omega_i = trajectory(ti, speed=speed, excitation=excitation)
+    _, R_wc_i, _, acc_i, omega_i = trajectory(ti, speed=speed, yaw_amp=yaw_amp,
+                                              excitation=excitation)
     g = np.asarray(gravity)
     R_c2i = cam.R_c2i_np().astype(np.float64)
     gyro = np.zeros((len(ti), 3))

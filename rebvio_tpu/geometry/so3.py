@@ -49,7 +49,13 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    # theta from an INNER-clipped cosine: arccos' diverges at +-1, so the
+    # unclipped form poisons jacfwd/jacrev with NaN through the jnp.where
+    # product rule even when a series branch supplies the primal (this
+    # stalled the pose-graph GN: sequential factors are evaluated exactly at
+    # their defining poses, i.e. exactly at identity).  Within the clip band
+    # the small/near-pi branches below take over, so the primal is unchanged.
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0 + 3e-7, 1.0 - 3e-7))
     # antisymmetric part -> axis * sin(theta)
     v = jnp.stack(
         [
@@ -59,11 +65,11 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-6
-    # w = theta / (2 sin(theta)) * v ; series: 0.5 * (1 + theta^2/6) * v
-    scale_generic = theta / jnp.where(small, 1.0, 2.0 * sin_t)
-    scale_small = 0.5 + theta * theta / 12.0
+    small = cos_t > 1.0 - 1e-7   # theta < ~4.5e-4
+    # w = theta / (2 sin(theta)) * v ; series 0.5 * (1 + theta^2/6) * v with
+    # theta^2 ~ 3 - trace (polynomial in R: smooth exactly at identity)
+    scale_generic = theta / (2.0 * jnp.sin(theta))
+    scale_small = 0.5 + (3.0 - trace) / 12.0
     w_generic = jnp.where(small[..., None], scale_small[..., None] * v, scale_generic[..., None] * v)
 
     # Near pi: v -> 0; use sqrt of diagonal. axis_i = sqrt((R_ii+1)/2)
@@ -90,7 +96,12 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     axis_pi = signed_axis(axis_abs, off, k)
     nrm = jnp.linalg.norm(axis_pi, axis=-1, keepdims=True)
     axis_pi = axis_pi / jnp.where(nrm > 0, nrm, 1.0)
-    w_pi = axis_pi * theta[..., None]
+    # magnitude near pi from the antisymmetric part (|v| = 2 sin theta):
+    # accurate through exactly pi (the inner-clipped theta saturates there)
+    # and with a finite derivative (arcsin' at 0 = 1; safe norm at v = 0)
+    vn = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)
+    theta_pi = jnp.pi - jnp.arcsin(jnp.clip(0.5 * vn, 0.0, 1.0 - 1e-7))
+    w_pi = axis_pi * theta_pi[..., None]
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 

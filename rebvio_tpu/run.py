@@ -47,6 +47,10 @@ def main(argv=None):
     ap.add_argument("--ba", action="store_true",
                     help="build a keyframe map during the run and refine it "
                          "with Schur-complement bundle adjustment")
+    ap.add_argument("--pose-graph", action="store_true",
+                    help="build a keyframe pose graph from the run "
+                         "(sequential odometry factors + tracker-registered "
+                         "loop closures) and optimize it")
     ap.add_argument("--kf-every", type=int, default=5)
     ap.add_argument("--platform", choices=["default", "cpu"], default="default",
                     help="force the JAX backend (cpu for quick local runs)")
@@ -130,10 +134,11 @@ def main(argv=None):
         log.info("resumed state from %s", args.resume)
 
     builder = None
-    if args.ba:
+    if args.ba or args.pose_graph:
         from rebvio_tpu.ba.keyframe_map import KeyframeMapBuilder
 
-        builder = KeyframeMapBuilder(config, kf_every=args.kf_every)
+        builder = KeyframeMapBuilder(config, kf_every=args.kf_every,
+                                     store_maps=args.pose_graph)
 
     # warm the jit on frame 0 so the fps figure reflects steady state
     runner.process_frame(
@@ -177,7 +182,29 @@ def main(argv=None):
         log.info("state checkpoint written to %s", args.checkpoint_out)
 
     out = {"frames": n, "fps": n / elapsed, "run_ok": bool(res.run_ok[-1])}
-    if builder is not None and builder.n_keyframes() >= 2:
+    if args.pose_graph and builder is not None and builder.n_keyframes() >= 3:
+        from rebvio_tpu.ba import loop_closure as lc
+        from rebvio_tpu.ba import pose_graph as pgm
+
+        kf_R = np.stack([k.R_wc for k in builder.keyframes])
+        kf_t = np.stack([k.t_wc for k in builder.keyframes])
+        g, n_loops = lc.build_graph_from_run(
+            kf_R, kf_t, builder.kf_maps, config,
+            K_scale=float(runner.state.K),
+            min_matches=int(config.core.global_min_matches_threshold),
+        )
+        g_opt, hist = pgm.optimize(g, iters=12)
+        out["pg_keyframes"] = builder.n_keyframes()
+        out["pg_loop_factors"] = n_loops
+        out["pg_cost_before"] = float(np.asarray(hist)[0])
+        out["pg_cost_after"] = float(np.asarray(hist)[-1])
+        if gt is not None:
+            kf_idx = np.asarray([k.index for k in builder.keyframes])
+            out["pg_ate_sim3_before"] = ev.ate_rmse(
+                kf_t, gt[kf_idx], align=True, with_scale=True)
+            out["pg_ate_sim3"] = ev.ate_rmse(
+                np.asarray(g_opt.t), gt[kf_idx], align=True, with_scale=True)
+    if args.ba and builder is not None and builder.n_keyframes() >= 2:
         from rebvio_tpu.ba import problem as bap
 
         p = builder.build_problem(min_obs=2)

@@ -1,0 +1,151 @@
+"""Loop-closure registration + pose-graph product path (VERDICT.md round-2
+item 5): the tracker-based keyframe registration (ba/loop_closure.py), the
+drifted-trajectory refinement it enables, and the run.py --pose-graph wiring.
+"""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rebvio_tpu import eval as ev
+from rebvio_tpu.ba import loop_closure as lc
+from rebvio_tpu.ba import pose_graph as pgm
+from rebvio_tpu.ba.keyframe_map import KeyframeMapBuilder
+from rebvio_tpu.configs import (
+    CameraConfig, CoreConfig, EdgeDetectorConfig, PipelineConfig,
+)
+from rebvio_tpu.data import synthetic
+from rebvio_tpu.geometry import so3
+from rebvio_tpu.runner import VioRunner
+
+
+def _small_config():
+    cam = CameraConfig(rows=120, cols=188, fx=114.6, fy=114.3, cx=91.8,
+                       cy=62.1, k1=0, k2=0, k3=0, p1=0, p2=0)
+    det = EdgeDetectorConfig(keylines_max=2048, keylines_ref=1200)
+    core = CoreConfig(search_range=10, global_min_matches_threshold=100)
+    return PipelineConfig(camera=cam, detector=det, core=core, use_imu=False)
+
+
+@pytest.fixture(scope="module")
+def kf_run():
+    """A small VO run with stored keyframe maps."""
+    cfg = _small_config()
+    seq = synthetic.generate(cfg.camera, n_frames=36, seed=0)
+    runner = VioRunner(cfg, undistort=False)
+    builder = KeyframeMapBuilder(cfg, kf_every=3, store_maps=True)
+    for i in range(len(seq.images)):
+        odo = runner.process_frame(
+            seq.images[i], int(seq.ts_us[i]), seq.imu_ts_us, seq.imu_gyro,
+            seq.imu_acc,
+        )
+        builder.add_frame(runner.state.edge_map, np.asarray(odo.orientation),
+                          np.asarray(odo.position),
+                          K_scale=float(runner.state.K))
+    assert bool(runner.state.run_ok)
+    return cfg, seq, builder
+
+
+def _angle_deg(Ra, Rb):
+    c = (np.trace(Ra.T @ Rb) - 1.0) / 2.0
+    return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
+def test_register_pair_corrects_perturbed_prior(kf_run):
+    """Registration measures the relative pose from the edge images: given a
+    rotation prior perturbed within the capture basin (~0.5 deg — direct
+    edge association is valid while the reprojection error stays below the
+    inter-edge spacing, see register_pair's docstring), the measured rotation
+    must move substantially back toward the VIO chain's relative rotation
+    (the keyframes are 0.45 s apart, so chain drift between them is
+    negligible at this magnitude)."""
+    cfg, seq, builder = kf_run
+    kf_R = np.stack([k.R_wc for k in builder.keyframes])
+    i, j = 2, 5
+    R_chain = kf_R[i].T @ kf_R[j]
+    perturb = np.asarray(so3.exp(jnp.asarray([0.0, 0.008, 0.0027], jnp.float32)))
+    R_prior = (R_chain @ perturb).astype(np.float32)
+    err_prior = _angle_deg(R_prior, R_chain)
+
+    R_m, V, nfm, _ = lc.register_pair(
+        builder.kf_maps[i], builder.kf_maps[j], jnp.asarray(R_prior), cfg)
+    R_m = np.asarray(R_m)
+    assert int(nfm) > 200
+    err_meas = _angle_deg(R_m, R_chain)
+    # measured 0.483 -> 0.198 deg at authoring time; generous margin
+    assert err_meas < 0.6 * err_prior, (err_meas, err_prior)
+
+
+def test_pose_graph_refines_drifted_trajectory(kf_run):
+    """Inject a pose jump mid-trajectory (simulated accumulated drift): the
+    sequential chain carries the bad link; loop closures spanning it (here
+    synthetic — what a perfect place recognition would measure, per
+    SURVEY.md's test prescription; the registration-derived path is
+    characterized separately above and in the CLI test) contradict it, and
+    the optimizer pulls the trajectory back toward the undrifted estimate."""
+    cfg, seq, builder = kf_run
+    kf_R = np.stack([k.R_wc for k in builder.keyframes])
+    kf_t = np.stack([k.t_wc for k in builder.keyframes])
+    F = len(kf_t)
+
+    # drift: rotate + shift everything from keyframe k0 on (about the pose
+    # of k0, like an instantaneous estimation error that then propagates)
+    k0 = F // 2
+    dR = np.asarray(so3.exp(jnp.asarray([0.0, 0.04, 0.012], jnp.float32)))
+    dt = np.array([0.06, 0.0, 0.03])
+    pivot = kf_t[k0].copy()
+    kf_R_d = kf_R.copy()
+    kf_t_d = kf_t.copy()
+    for k in range(k0, F):
+        kf_R_d[k] = dR @ kf_R[k]
+        kf_t_d[k] = dR @ (kf_t[k] - pivot) + pivot + dt
+
+    err_before = float(np.sqrt(((kf_t_d - kf_t) ** 2).sum(-1).mean()))
+
+    # sequential factors from the DRIFTED chain + synthetic loop closures
+    # spanning the break, measured from the undrifted estimate
+    fi, fj, Rij, tij, fw = pgm.factors_from_trajectory(kf_R_d, kf_t_d, w=1.0)
+    fwt = fw.copy()
+    loops = [(a, b) for a in range(k0 - 3, k0) for b in range(k0, min(k0 + 3, F))]
+    for (a, b) in loops:
+        fi = np.concatenate([fi, [a]]).astype(np.int32)
+        fj = np.concatenate([fj, [b]]).astype(np.int32)
+        Rij = np.concatenate([Rij, (kf_R[a].T @ kf_R[b])[None].astype(np.float32)])
+        tij = np.concatenate(
+            [tij, (kf_R[a].T @ (kf_t[b] - kf_t[a]))[None].astype(np.float32)])
+        fw = np.concatenate([fw, [1.0]]).astype(np.float32)
+        fwt = np.concatenate([fwt, [1.0]]).astype(np.float32)
+    g = pgm.PoseGraph(
+        R=jnp.asarray(kf_R_d, jnp.float32), t=jnp.asarray(kf_t_d, jnp.float32),
+        f_i=jnp.asarray(fi), f_j=jnp.asarray(fj),
+        f_Rij=jnp.asarray(Rij), f_tij=jnp.asarray(tij),
+        f_w=jnp.asarray(fw), f_valid=jnp.ones(len(fi), bool),
+        f_wt=jnp.asarray(fwt),
+    )
+
+    g_opt, hist = pgm.optimize(g, iters=15)
+    hist = np.asarray(hist)
+    assert hist[-1] < hist[0], hist
+    err_after = float(np.sqrt(
+        ((np.asarray(g_opt.t) - kf_t) ** 2).sum(-1).mean()))
+    assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+def test_run_cli_pose_graph(capsys):
+    """Product wiring: run.py --pose-graph reports the pose-graph block."""
+    from rebvio_tpu import run as run_mod
+
+    rc = run_mod.main([
+        "--dataset", "synthetic", "--mode", "vo", "--frames", "30",
+        "--preset", "small", "--pose-graph", "--kf-every", "3",
+        "--platform", "cpu",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["run_ok"]
+    assert out["pg_keyframes"] >= 3
+    assert "pg_loop_factors" in out
+    assert out["pg_cost_after"] <= out["pg_cost_before"]
+    assert np.isfinite(out["pg_ate_sim3"])

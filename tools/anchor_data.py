@@ -21,7 +21,8 @@ from rebvio_tpu.configs import CameraConfig
 from rebvio_tpu.data.synthetic import generate
 
 
-def dump(out_dir: str, n_frames: int = 120, seed: int = 0) -> None:
+def dump(out_dir: str, n_frames: int = 120, seed: int = 0,
+         speed: float = 0.35, yaw_amp: float = 0.06) -> None:
     cam = CameraConfig()
     seq = generate(
         cam,
@@ -29,6 +30,8 @@ def dump(out_dir: str, n_frames: int = 120, seed: int = 0) -> None:
         seed=seed,
         distort=True,
         imu_preroll_s=0.1,
+        speed=speed,
+        yaw_amp=yaw_amp,
     )
     os.makedirs(out_dir, exist_ok=True)
     imgs = np.clip(np.round(seq.images), 0, 255).astype(np.uint8)
@@ -55,5 +58,10 @@ if __name__ == "__main__":
     ap.add_argument("out_dir", nargs="?", default="/tmp/anchor_data")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speed", type=float, default=0.35,
+                    help="forward speed [m/s]")
+    ap.add_argument("--yaw-amp", type=float, default=0.06,
+                    help="yaw oscillation amplitude [rad] (0.06 = the "
+                         "original anchor; ~0.5 = rotation-heavy)")
     args = ap.parse_args()
-    dump(args.out_dir, args.frames, args.seed)
+    dump(args.out_dir, args.frames, args.seed, args.speed, args.yaw_amp)
