@@ -84,22 +84,26 @@ class VioRunner:
         frame, the reference's operating mode)."""
         if chunk and chunk > 1:
             return self._run_chunked(seq, chunk, pipelined)
-        ts, ori, pos, nm, ok = [], [], [], [], []
+        # Streaming: one async dispatch per frame, NO per-frame device->host
+        # readback.  Deferring the odometry fetch to the end lets the host
+        # loop run ahead of the device — packing IMU windows, decoding and
+        # uploading frame N+1 while the device still executes frame N.  This
+        # is the functional equivalent of the reference's 2-thread overlap of
+        # data acquisition and estimation (rebvio.cpp:28-29): same overlap,
+        # no threads, no queues, no races.
+        ts, odos = [], []
         for i in range(len(seq.images)):
             odo = self.process_frame(
                 seq.images[i], int(seq.ts_us[i]), seq.imu_ts_us, seq.imu_gyro, seq.imu_acc
             )
             ts.append(int(seq.ts_us[i]))
-            ori.append(np.asarray(odo.orientation))
-            pos.append(np.asarray(odo.position))
-            nm.append(int(odo.num_matches))
-            ok.append(bool(odo.run_ok))
+            odos.append(odo)
         return RunResult(
             ts_us=np.asarray(ts),
-            orientation=np.stack(ori),
-            position=np.stack(pos),
-            num_matches=np.asarray(nm),
-            run_ok=np.asarray(ok),
+            orientation=np.stack([np.asarray(o.orientation) for o in odos]),
+            position=np.stack([np.asarray(o.position) for o in odos]),
+            num_matches=np.asarray([int(o.num_matches) for o in odos]),
+            run_ok=np.asarray([bool(o.run_ok) for o in odos]),
         )
 
     def _pack_inputs(self, seq, lo: int, hi: int):

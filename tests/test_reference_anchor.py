@@ -2,27 +2,33 @@
 
 Round-1 gap (VERDICT.md): all accuracy claims were anchored to a numpy
 oracle written from the same reading of the reference, which can share a
-misreading.  This test anchors against the real thing: the unmodified C++
+misreading.  These tests anchor against the real thing: the unmodified C++
 reference (/root/reference/rebvio), built in-container against the TooN/
-spdlog shims in native/reference_anchor/, was run on a deterministic
-synthetic EuRoC-geometry sequence (tools/anchor_data.py: 120 frames,
-752x480, rad-tan distorted, seed 0) and its odometry output committed as
-tests/data/anchor_ref_trajectory_seed0_120.txt — the exact analogue of the
-reference's own golden-trajectory regression fixture
+spdlog shims in native/reference_anchor/, was run on deterministic synthetic
+EuRoC-geometry sequences (tools/anchor_data.py; 752x480, rad-tan distorted)
+and its odometry output committed as golden files — the exact analogue of
+the reference's own golden-trajectory regression fixture
 (ros_rebvio/test/test_ros_rebvio.cpp:37-43), graded by ATE as SURVEY.md
 section 4 prescribes.
 
-To regenerate the golden file:
-    python -m tools.anchor_data /tmp/anchor_data --frames 120
-    make -C native/reference_anchor build/anchor_driver
-    native/reference_anchor/build/anchor_driver /tmp/anchor_data \
-        tests/data/anchor_ref_trajectory_seed0_120.txt
+Round-2 weakness addressed here (VERDICT.md round-2 item 4): one anchor
+sequence cannot expose matcher/field regressions that other trajectory
+shapes would.  Goldens now cover a second seed (different wireframe scene),
+a rotation-heavy trajectory (3x the yaw amplitude — the largest the
+reference itself remains scale-stable on; at >=0.25 rad its SAB filter
+diverges, measured in round 3), and a 300-frame run; the original seed-0
+sequence is tested over its FULL 120 frames.
 
-Measured at authoring time (full 120 frames): cross-ATE(sim3) mine-vs-
-reference = 0.025 m over a 2.2 m span, while both track ground truth at
-~0.28 m — the two implementations agree with each other ~10x tighter than
-either tracks the ground truth.  The test runs the first 60 frames
-(measured cross-ATE 0.010 m) to bound suite runtime.
+To regenerate a golden file:
+    python -m tools.anchor_data /tmp/anchor --frames N --seed S \
+        [--speed V --yaw-amp A]
+    make -C native/reference_anchor build/anchor_driver
+    native/reference_anchor/build/anchor_driver /tmp/anchor <golden.txt>
+
+Cross-ATE(sim3) measured at authoring time (mine vs the reference binary,
+both profiles tracking ground truth at ~0.28 m):
+    seed0  @120: 0.025 m   seed1 @60: 0.034 m
+    rot18  @60:  0.023 m   long300 @80: 0.030 m
 """
 
 import os
@@ -35,21 +41,18 @@ from rebvio_tpu.configs import PipelineConfig
 from rebvio_tpu.data import synthetic
 from rebvio_tpu.runner import VioRunner
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "data",
-                      "anchor_ref_trajectory_seed0_120.txt")
-N_FRAMES = 60
+DATA = os.path.join(os.path.dirname(__file__), "data")
+GOLDEN_SEED0 = os.path.join(DATA, "anchor_ref_trajectory_seed0_120.txt")
 
-
-@pytest.fixture(scope="module")
-def anchor_sequence():
-    cfg = PipelineConfig(use_imu=True)
-    # Deterministic prefix of the 120-frame anchor stream: frames are
-    # rendered per-index and the IMU grid only grows with n_frames, so the
-    # 60-frame generation equals the first 60 frames of the dump.
-    return cfg, synthetic.generate(
-        cfg.camera, n_frames=N_FRAMES, seed=0, distort=True,
-        imu_preroll_s=0.1,
-    )
+# (golden file, generate() kwargs, frames tested, cross-ATE bound [m]):
+# bounds are ~2x the measured value (header) to absorb platform jitter.
+ANCHORS = [
+    ("anchor_ref_trajectory_seed0_120.txt", dict(seed=0), 120, 0.05),
+    ("anchor_ref_trajectory_seed1_120.txt", dict(seed=1), 60, 0.07),
+    ("anchor_ref_trajectory_rot18_seed0_120.txt",
+     dict(seed=0, speed=0.3, yaw_amp=0.18), 60, 0.05),
+    ("anchor_ref_trajectory_seed0_300.txt", dict(seed=0), 80, 0.06),
+]
 
 
 def test_fast_profile_matches_real_reference_trajectory():
@@ -63,43 +66,50 @@ def test_fast_profile_matches_real_reference_trajectory():
     profile is as accurate as the reference itself on this sequence."""
     from rebvio_tpu.configs import fast_profile
 
+    N = 60
     cfg = fast_profile()
-    seq = synthetic.generate(cfg.camera, n_frames=N_FRAMES, seed=0,
+    seq = synthetic.generate(cfg.camera, n_frames=N, seed=0,
                              distort=True, imu_preroll_s=0.1)
-    golden = np.loadtxt(GOLDEN)
-    ref_pos = golden[: N_FRAMES - 1, 4:7]
+    golden = np.loadtxt(GOLDEN_SEED0)
+    ref_pos = golden[: N - 1, 4:7]
 
     runner = VioRunner(cfg, undistort=True)
     res = runner.run(seq, chunk=4)
     assert res.run_ok.all()
-    mine = res.position[1:N_FRAMES]
+    mine = res.position[1:N]
 
     cross = ev.ate_rmse(mine, ref_pos, with_scale=True)
     assert cross < 0.09, cross  # measured 0.054 on the 120-frame run
 
-    gt = seq.gt_pos[1:N_FRAMES]
+    gt = seq.gt_pos[1:N]
     ate_mine = ev.ate_rmse(mine, gt, with_scale=True)
     ate_ref = ev.ate_rmse(ref_pos, gt, with_scale=True)
     assert ate_mine < ate_ref + 0.1, (ate_mine, ate_ref)
 
 
-def test_matches_real_reference_trajectory(anchor_sequence):
-    cfg, seq = anchor_sequence
-    golden = np.loadtxt(GOLDEN)
-    ref_pos = golden[: N_FRAMES - 1, 4:7]  # reference emits frames 1..N-1
+@pytest.mark.parametrize("golden_name,gen_kw,n_frames,bound",
+                         ANCHORS, ids=[a[0].split("anchor_ref_trajectory_")[1]
+                                       .removesuffix(".txt") for a in ANCHORS])
+def test_matches_real_reference_trajectory(golden_name, gen_kw, n_frames, bound):
+    cfg = PipelineConfig(use_imu=True)
+    # Deterministic prefix of the anchor stream: frames are rendered
+    # per-index and the IMU grid only grows with n_frames, so an n-frame
+    # generation equals the first n frames of the dump.
+    seq = synthetic.generate(cfg.camera, n_frames=n_frames, distort=True,
+                             imu_preroll_s=0.1, **gen_kw)
+    golden = np.loadtxt(os.path.join(DATA, golden_name))
+    ref_pos = golden[: n_frames - 1, 4:7]  # reference emits frames 1..N-1
 
     runner = VioRunner(cfg, undistort=True)
     res = runner.run(seq, chunk=4)
     assert res.run_ok.all()
-    mine = res.position[1:N_FRAMES]
+    mine = res.position[1:n_frames]
 
-    span = float(np.linalg.norm(seq.gt_pos.max(0) - seq.gt_pos.min(0)))
     cross = ev.ate_rmse(mine, ref_pos, with_scale=True)
-    # measured 0.010 m at authoring time over a ~2.2 m span; 5x headroom
-    assert cross < 0.05, (cross, span)
+    assert cross < bound, (golden_name, cross)
 
     # comparative accuracy: no worse than the reference against ground truth
-    gt = seq.gt_pos[1:N_FRAMES]
+    gt = seq.gt_pos[1:n_frames]
     ate_mine = ev.ate_rmse(mine, gt, with_scale=True)
     ate_ref = ev.ate_rmse(ref_pos, gt, with_scale=True)
-    assert ate_mine < ate_ref + 0.05, (ate_mine, ate_ref)
+    assert ate_mine < ate_ref + 0.05, (golden_name, ate_mine, ate_ref)
