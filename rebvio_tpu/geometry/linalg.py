@@ -30,12 +30,57 @@ def invert3(m: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
+def _chol_inverse_unrolled(m: jnp.ndarray) -> jnp.ndarray:
+    """Fully unrolled Cholesky inverse for small static n (the pipeline's
+    6x6/7x7 information matrices).  jnp.linalg.cholesky + triangular solve
+    lower to LAPACK-style custom calls — dozens of tiny sequential kernels
+    on TPU, the dominant cost of the SAB Gauss-Newton chain — while this
+    form is ~n^3/3 scalar ops XLA fuses into a handful of kernels.
+    sqrt of a negative diagonal (non-PD input) yields NaN, preserving the
+    reference's unpivoted TooN::Cholesky failure mode."""
+    n = m.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = m[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    # inv(L) by unrolled forward substitution, then inv(m) = Linv^T Linv
+    Li = [[None] * n for _ in range(n)]
+    for j in range(n):
+        Li[j][j] = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = L[i][j] * Li[j][j]
+            for k in range(j + 1, i):
+                s = s + L[i][k] * Li[k][j]
+            Li[i][j] = -s / L[i][i]
+    zero = jnp.zeros_like(m[..., 0, 0])
+    out_rows = []
+    for i in range(n):
+        row = []
+        for j in range(n):
+            s = zero
+            for k in range(max(i, j), n):
+                s = s + Li[k][i] * Li[k][j]
+            row.append(s)
+        out_rows.append(jnp.stack(row, axis=-1))
+    return jnp.stack(out_rows, axis=-2)
+
+
 def chol_inverse(m: jnp.ndarray) -> jnp.ndarray:
     """Inverse via Cholesky factorization (TooN::Cholesky::get_inverse).
 
     Produces NaNs on non-positive-definite input, mirroring the reference's
-    unpivoted factorization failure mode.
+    unpivoted factorization failure mode.  Small static sizes (n <= 8) use
+    the unrolled form (_chol_inverse_unrolled); larger fall back to the
+    LAPACK-style path.
     """
+    if m.shape[-1] <= 8:
+        return _chol_inverse_unrolled(m)
     L = jnp.linalg.cholesky(m)
     eye = jnp.eye(m.shape[-1], dtype=m.dtype)
     Linv = jnp.linalg.solve(L, eye)
@@ -96,7 +141,12 @@ def sym_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         propagates NaN, the caller's isnan(V) gate latches the failure
         (core.cpp:251-257, rebvio.cpp:236-241) — NaN is propagated here
         too so the pipeline's fail_nan gate fires the same frame.
+
+    Small static sizes take the unrolled Gauss-Jordan path (gj_solve, same
+    semantics) instead of the LAPACK-style LU custom call.
     """
+    if A.shape[-1] <= 8 and A.ndim == 2:
+        return gj_solve(A, b)
     x = jnp.linalg.solve(A, b)
     inputs_finite = jnp.all(jnp.isfinite(A)) & jnp.all(jnp.isfinite(b))
     singular = inputs_finite & ~jnp.all(jnp.isfinite(x))

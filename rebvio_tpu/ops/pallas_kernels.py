@@ -340,6 +340,116 @@ def try_vel_math_pallas(
     )(att8, p_x, p_y, rho_p, ok, inv_sr, gxo, gyo, use, residuals)
 
 
+def reg_ekf_pallas(
+    rho, sigma_rho,        # [Kr,128] pre-pass depth state
+    row_n, row_p,          # [5, Kr, 128] gathered neighbor packs
+                           #   (rho, sigma_rho, gx, gy, gnorm), transposed
+    has_nb,                # [Kr,128] f32: valid & id_next>=0 & id_prev>=0
+    ekf_m,                 # [Kr,128] f32: valid & match_id>=0
+    qx, qy,                # [Kr,128] pos_img
+    q0x, q0y,              # [Kr,128] match_pos_img
+    mux, muy,              # [Kr,128] match_grad
+    mgn,                   # [Kr,128] match_grad_norm
+    vel,                   # [3]
+    threshold: float,
+    cfg,
+    fm: float,
+    interpret: bool = False,
+):
+    """Depth regularization + inverse-depth EKF as ONE kernel.
+
+    The two stages (edge_map.cpp:220-259 then core.cpp:417-456) are pure
+    per-keyline math once the two neighbor row-gathers are done; in XLA they
+    compile to tens of small [K] kernels whose launch+latency dominates at
+    ~7 us each.  Split like the hybrid tryVel: XLA packs + gathers the
+    neighbor rows (3 kernels), this kernel runs regularize's tests/blend and
+    then the scalar EKF on the blended depth (the exact sequential
+    composition of the pipeline, pipeline.py).
+
+    Returns (rho_out, sigma_out)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rw_thr = float(threshold)
+    q_abs = float(cfg.reshape_q_abs)
+    pu2 = float(cfg.pixel_uncertainty) ** 2
+    RHO_MIN, RHO_MAX, RHO_INIT = T.RHO_MIN, T.RHO_MAX, T.RHO_INIT
+    FM = float(fm)
+
+    def kernel(rho_ref, sr_ref, rn_ref, rp_ref, hn_ref, em_ref,
+               qx_ref, qy_ref, q0x_ref, q0y_ref, mux_ref, muy_ref,
+               mgn_ref, vel_ref, rho_out_ref, sr_out_ref):
+        rho0 = rho_ref[:]
+        sr0 = sr_ref[:]
+        rn, sn = rn_ref[0], rn_ref[1]
+        gnx, gny, gnn = rn_ref[2], rn_ref[3], rn_ref[4]
+        rp, sp = rp_ref[0], rp_ref[1]
+        gpx, gpy, gnp_ = rp_ref[2], rp_ref[3], rp_ref[4]
+        has_nb_ = hn_ref[:] > 0.5
+
+        # --- regularize_1iter (edge_map.cpp:220-259) ---
+        test1 = (rn - rp) ** 2 <= (sn * sn + sp * sp)
+        denom = jnp.where(gnn * gnp_ > 0, gnn * gnp_, 1.0)
+        alpha = (gnx * gpx + gny * gpy) / denom
+        test2 = alpha >= rw_thr
+        apply = has_nb_ & test1 & test2
+        alpha2 = (alpha - rw_thr) / (1.0 - rw_thr)
+        alpha2 = alpha2 / (jnp.abs(rn - rp) / jnp.where(sn + sp > 0, sn + sp, 1.0) + 1.0)
+        sr_safe = jnp.where(sr0 > 0, sr0, 1.0)
+        wr = 1.0 / (sr_safe * sr_safe)
+        wrn = alpha2 / jnp.where(sn > 0, sn * sn, 1.0)
+        wrp = alpha2 / jnp.where(sp > 0, sp * sp, 1.0)
+        wsum = wr + wrn + wrp
+        rho1 = jnp.where(apply, (rho0 * wr + rn * wrn + rp * wrp) / wsum, rho0)
+        sr1 = jnp.where(apply, (sr0 * wr + sn * wrn + sp * wrp) / wsum, sr0)
+
+        # --- updateInverseDepthARLU (core.cpp:417-456) on the blend ---
+        v0, v1, v2 = vel_ref[0], vel_ref[1], vel_ref[2]
+        m = em_ref[:] > 0.5
+        gn = jnp.where(mgn_ref[:] > 0, mgn_ref[:], 1.0)
+        ux = mux_ref[:] / gn
+        uy = muy_ref[:] / gn
+        qx_, qy_ = qx_ref[:], qy_ref[:]
+        q0x_, q0y_ = q0x_ref[:], q0y_ref[:]
+        Y = ux * (qx_ - q0x_) + uy * (qy_ - q0y_)
+        Hm = ux * (v0 * FM - v2 * q0x_) + uy * (v1 * FM - v2 * q0y_)
+        v_rho = sr1 * sr1
+        rho_safe = jnp.where(rho1 != 0, rho1, 1e-20)
+        rho_p = 1.0 / (1.0 / rho_safe + v2)
+        F1 = 1.0 / (1.0 + rho1 * v2)
+        F2 = F1 * F1
+        p_p = F2 * v_rho * F2 + q_abs * q_abs
+        e = Y - Hm * rho_p
+        S = Hm * p_p * Hm + pu2
+        Kk = p_p * Hm / S
+        rho_new = rho_p + Kk * e
+        v_rho_new = (1.0 - Kk * Hm) * p_p
+        sigma_new = jnp.sqrt(v_rho_new)
+        low = rho_new < RHO_MIN
+        sigma_new = jnp.where(low, sigma_new + (RHO_MIN - rho_new), sigma_new)
+        rho_new = jnp.clip(rho_new, RHO_MIN, RHO_MAX)
+        bad = ~jnp.isfinite(rho_new) | ~jnp.isfinite(sigma_new)
+        rho_new = jnp.where(bad, RHO_INIT, rho_new)
+        sigma_new = jnp.where(bad, RHO_MAX, sigma_new)
+
+        rho_out_ref[:] = jnp.where(m, rho_new, rho1)
+        sr_out_ref[:] = jnp.where(m, sigma_new, sr1)
+
+    Kr = rho.shape[0]
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((Kr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Kr, 128), jnp.float32),
+        ],
+        in_specs=[vspec] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[vspec] * 2,
+        interpret=_auto_interpret(interpret),
+    )(rho, sigma_rho, row_n, row_p, has_nb, ekf_m,
+      qx, qy, q0x, q0y, mux, muy, mgn, vel)
+
+
 def try_vel_pallas(
     old: T.EdgeMap,
     att: jnp.ndarray,           # [N,8] attribute field (build_att_field)

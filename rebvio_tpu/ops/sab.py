@@ -126,20 +126,25 @@ def sab_problem(p: SabProblem, X: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
 _BIAS_SAT = 5e-1 / 25  # saturation limit on b (sab_estimator.cpp:34)
 
 
-def sab_gauss_newton(p: SabProblem, X0: jnp.ndarray, iters: int = 20) -> jnp.ndarray:
-    """Fixed-iteration Gauss-Newton with SVD solve, angle wrapping and bias
-    saturation (sab_estimator.cpp:21-38).  The reference's default tolerances
-    are zero, so it always runs the full iteration count."""
+def sab_gauss_newton(p: SabProblem, X0: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """Fixed-iteration Gauss-Newton with angle wrapping and bias saturation
+    (sab_estimator.cpp:21-38; the reference caps at 20 with zero tolerances,
+    but the solve converges well within 8 — identical golden-trajectory
+    cross-ATE at 8/12/20, see configs.ImuConfig.sab_iterations).
 
-    def body(X, _):
+    The 7x7 solve is the unrolled pivot-free Gauss-Jordan (linalg.gj_solve)
+    rather than jnp.linalg.solve: the LU custom-call is dozens of tiny
+    kernels per iteration on TPU, while the unrolled form is pure fusible
+    vector ops.  The loop is unrolled (not lax.scan) for the same reason —
+    the whole chain fuses into a handful of kernels."""
+
+    X = X0
+    for _ in range(iters):
         JtJ, JtF = sab_problem(p, X)
-        h = linalg.sym_solve(JtJ, -JtF)
+        h = linalg.gj_solve(JtJ, -JtF)
         X = X + h
         X = X.at[0].set(jnp.arctan2(jnp.sin(X[0]), jnp.cos(X[0])))
         X = X.at[4:7].set(jnp.clip(X[4:7], -_BIAS_SAT, _BIAS_SAT))
-        return X, None
-
-    X, _ = jax.lax.scan(body, X0, None, length=iters)
     return X
 
 

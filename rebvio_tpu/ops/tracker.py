@@ -352,6 +352,51 @@ def gyro_bias_correction(
     return X_new, Wx_new, Wb_new, dgbias
 
 
+def regularize_and_update_depth(
+    em: T.EdgeMap, vel: jnp.ndarray, threshold: float,
+    cfg: CoreConfig, cam: CameraConfig,
+) -> T.EdgeMap:
+    """regularize_1iter + updateInverseDepthARLU as one fused stage.
+
+    On TPU the two stages' post-gather math runs as ONE Pallas kernel
+    (pallas_kernels.reg_ekf_pallas) fed by two XLA neighbor row-gathers —
+    the same hybrid split as tryVel: the XLA formulation compiles to tens of
+    small [K] kernels whose launch+latency dominates.  Elsewhere (or with
+    REBVIO_PALLAS_REGEKF=0) it composes the two reference-shaped ops.
+    """
+    kmax = em.kmax
+    v = os.environ.get("REBVIO_PALLAS_REGEKF", "auto")
+    use_pallas = (v == "1") if v in ("0", "1") else jax.default_backend() == "tpu"
+    if not (use_pallas and kmax % 128 == 0):
+        from rebvio_tpu.ops.matching import regularize_1iter
+
+        em = regularize_1iter(em, threshold)
+        return update_inverse_depth(em, vel, cfg, cam)
+
+    from rebvio_tpu.ops.pallas_kernels import reg_ekf_pallas
+
+    has_nb = em.valid & (em.id_next >= 0) & (em.id_prev >= 0)
+    nx = jnp.clip(em.id_next, 0, kmax - 1)
+    pv = jnp.clip(em.id_prev, 0, kmax - 1)
+    pack = jnp.concatenate(
+        [em.rho[:, None], em.sigma_rho[:, None], em.grad,
+         em.grad_norm[:, None], jnp.zeros((kmax, 3), jnp.float32)], axis=-1,
+    )  # padded to 8 so the row gather stays on the fast slice path
+    Kr = kmax // 128
+    rs = lambda a: a.reshape(Kr, 128)
+    rs5 = lambda a: a[:, :5].T.reshape(5, Kr, 128)
+    ekf_m = em.valid & (em.match_id >= 0)
+    rho_out, sr_out = reg_ekf_pallas(
+        rs(em.rho), rs(em.sigma_rho), rs5(pack[nx]), rs5(pack[pv]),
+        rs(has_nb.astype(jnp.float32)), rs(ekf_m.astype(jnp.float32)),
+        rs(em.pos_img[:, 0]), rs(em.pos_img[:, 1]),
+        rs(em.match_pos_img[:, 0]), rs(em.match_pos_img[:, 1]),
+        rs(em.match_grad[:, 0]), rs(em.match_grad[:, 1]),
+        rs(em.match_grad_norm), vel, threshold, cfg, cam.fm,
+    )
+    return em.replace(rho=rho_out.reshape(-1), sigma_rho=sr_out.reshape(-1))
+
+
 def update_inverse_depth(em: T.EdgeMap, vel: jnp.ndarray, cfg: CoreConfig, cam: CameraConfig) -> T.EdgeMap:
     """Per-keyline scalar inverse-depth EKF (updateInverseDepthARLU,
     core.cpp:417-456), batched over all matched keylines."""

@@ -236,8 +236,9 @@ def estimate(
     failed = fail_nan | fail_matches
 
     # --- regularization + depth EKF on success (rebvio.cpp:256-259) ---
-    reg = matching.regularize_1iter(new_map_post, config.edge_map.regularization_threshold)
-    reg = tracker.update_inverse_depth(reg, V, core_cfg, cam)
+    reg = tracker.regularize_and_update_depth(
+        new_map_post, V, config.edge_map.regularization_threshold, core_cfg, cam
+    )
     new_map_post = _tree_where(failed, new_map_post, reg)
 
     V = jnp.where(failed, jnp.zeros(3, jnp.float32), V)

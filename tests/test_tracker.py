@@ -339,3 +339,49 @@ def test_pallas_try_vel_matches_xla():
     np.testing.assert_array_equal(np.asarray(mif), np.asarray(want.match_id_forward))
     np.testing.assert_allclose(np.asarray(res), np.asarray(want.residuals),
                                rtol=1e-2, atol=1e-5)
+
+
+def test_pallas_reg_ekf_matches_xla(monkeypatch):
+    """The fused regularize+depth-EKF hybrid (tracker.
+    regularize_and_update_depth with the Pallas kernel forced on) must
+    reproduce the composition of matching.regularize_1iter and
+    tracker.update_inverse_depth exactly (interpret mode off-TPU)."""
+    import jax.numpy as jnp
+
+    from rebvio_tpu.configs import CameraConfig, CoreConfig
+    from rebvio_tpu.ops.matching import regularize_1iter
+    from tests.helpers import make_random_map
+
+    rng = np.random.RandomState(7)
+    H, W, K, kmax = 48, 64, 100, 128
+    em, _ = make_random_map(rng, K, kmax, H, W)
+    # synthesize chains + matches so both stages have work
+    idn = np.full(kmax, -1, np.int32)
+    idp = np.full(kmax, -1, np.int32)
+    mid = np.full(kmax, -1, np.int32)
+    idn[:K - 1] = np.arange(1, K)
+    idp[1:K] = np.arange(K - 1)
+    mid[: K // 2] = rng.permutation(K)[: K // 2]
+    mg = rng.randn(kmax, 2).astype(np.float32) * 100
+    mgn = np.linalg.norm(mg, axis=-1).astype(np.float32)
+    mpi = rng.randn(kmax, 2).astype(np.float32) * 20
+    em = em.replace(
+        id_next=jnp.asarray(idn), id_prev=jnp.asarray(idp),
+        match_id=jnp.asarray(mid), match_grad=jnp.asarray(mg),
+        match_grad_norm=jnp.asarray(mgn), match_pos_img=jnp.asarray(mpi),
+    )
+    cam = CameraConfig(rows=H, cols=W, cx=W / 2, cy=H / 2, fx=100, fy=100,
+                       k1=0, k2=0, k3=0, p1=0, p2=0)
+    cfg = CoreConfig(search_range=8)
+    vel = jnp.asarray([0.01, -0.004, 0.02], jnp.float32)
+    thr = 0.5
+
+    want = regularize_1iter(em, thr)
+    want = tracker.update_inverse_depth(want, vel, cfg, cam)
+
+    monkeypatch.setenv("REBVIO_PALLAS_REGEKF", "1")
+    got = tracker.regularize_and_update_depth(em, vel, thr, cfg, cam)
+    np.testing.assert_allclose(np.asarray(got.rho), np.asarray(want.rho),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.sigma_rho),
+                               np.asarray(want.sigma_rho), rtol=1e-5, atol=1e-6)

@@ -1,7 +1,9 @@
 """Quick A/B: step_chunk (exact) vs step_chunk_pipelined (vmapped frontend)
-at several chunk sizes, fast profile.  Usage: python -m tools.chunk_modes_bench
+at several chunk sizes.
+Usage: python -m tools.chunk_modes_bench [--profile fast|parity]
 """
 
+import argparse
 import time
 
 import numpy as np
@@ -14,17 +16,21 @@ def fence(tree):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default="fast", choices=["fast", "parity"])
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from rebvio_tpu import types as T
-    from rebvio_tpu.configs import fast_profile
+    from rebvio_tpu.configs import PipelineConfig, fast_profile
     from rebvio_tpu.data import synthetic
     from rebvio_tpu.ops.imu import pack_imu_window
     from rebvio_tpu.pipeline import (frontend_matrices, step_chunk,
                                      step_chunk_pipelined)
 
-    config = fast_profile()
+    config = fast_profile() if args.profile == "fast" else PipelineConfig()
     cam = config.camera
     mats = frontend_matrices(config)
 
