@@ -119,10 +119,15 @@ def main():
     if os.environ.get("BENCH_STREAMING", "1") != "0":
         from rebvio_tpu.runner import VioRunner
 
+        import dataclasses as _dc
+
         n_s = 16
         seq_d = synthetic.generate(cam, n_frames=n_s, seed=0, distort=True,
                                    imu_preroll_s=0.1)
-        images = [np.asarray(seq_d.images[i]) for i in range(n_s)]
+        # camera frames are uint8 (EuRoC, and the reference consumes MONO8);
+        # ship them as such — the device casts+gains after upload
+        seq_d = _dc.replace(
+            seq_d, images=np.clip(np.round(seq_d.images), 0, 255).astype(np.uint8))
         runner = VioRunner(config, undistort=True)
         runner.run(seq_d)  # compile + warm
         best_s = float("inf")

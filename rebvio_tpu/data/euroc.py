@@ -140,7 +140,9 @@ class _LazyImages:
         return len(self.paths)
 
     def __getitem__(self, i):
-        return _read_png_gray(self.paths[i]).astype(np.float32)
+        # uint8 stays uint8: the device casts+gains after upload
+        # (camera.Undistorter), so the host->device transfer is 4x smaller
+        return _read_png_gray(self.paths[i])
 
 
 class _NativeSeqImages:
@@ -171,14 +173,16 @@ class _NativeSeqImages:
             self._ldr, self._next_i = None, 0
         if i != self._next_i:
             # out-of-order access: fall back to the python decoder
-            return _read_png_gray(self.paths[i]).astype(np.float32)
+            return _read_png_gray(self.paths[i])
         if self._ldr is None:
             self._ldr = self._make()
         self._next_i += 1
         f = self._ldr.next()
         if f is None:
             raise IndexError(i)
-        return f
+        # the ring decodes to float (gain=1.0, exact integers); ship uint8
+        # over the device tunnel and let the device re-cast (4x less traffic)
+        return f.astype(np.uint8)
 
 
 def load(root: str, start_s: Optional[float] = None, end_s: Optional[float] = None,

@@ -91,13 +91,22 @@ class VioRunner:
         # is the functional equivalent of the reference's 2-thread overlap of
         # data acquisition and estimation (rebvio.cpp:28-29): same overlap,
         # no threads, no queues, no races.
+        # Upload prefetch: enqueue frame i+1's host->device transfer before
+        # dispatching step i, so the (tunnel-expensive) image transfer
+        # overlaps the device's current-frame compute.  uint8 sources stay
+        # uint8 on the wire (4x less traffic than f32); the gain/f32 cast
+        # happens on device (camera.Undistorter / process_frame).
         ts, odos = [], []
-        for i in range(len(seq.images)):
+        n = len(seq.images)
+        dev_img = jax.device_put(seq.images[0])
+        for i in range(n):
+            nxt = jax.device_put(seq.images[i + 1]) if i + 1 < n else None
             odo = self.process_frame(
-                seq.images[i], int(seq.ts_us[i]), seq.imu_ts_us, seq.imu_gyro, seq.imu_acc
+                dev_img, int(seq.ts_us[i]), seq.imu_ts_us, seq.imu_gyro, seq.imu_acc
             )
             ts.append(int(seq.ts_us[i]))
             odos.append(odo)
+            dev_img = nxt
         return RunResult(
             ts_us=np.asarray(ts),
             orientation=np.stack([np.asarray(o.orientation) for o in odos]),
