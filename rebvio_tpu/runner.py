@@ -43,6 +43,23 @@ class VioRunner:
         self._last_ts: Optional[int] = None
         self._imu_cursor = 0
 
+        # One dispatch per frame: undistortion (or the cast+gain of the
+        # no-undistort path) traced INTO the step jit, so streaming mode costs
+        # a single kernel launch per frame instead of eager remap dispatches
+        # followed by the step dispatch (reference does the undistort on its
+        # acquisition thread, rebvio.cpp:38-48 — here it fuses into the same
+        # device program).
+        und, cfg, mats = self.undistorter, self.config, self.mats
+
+        def _fused(st, raw, window, dt):
+            if und is not None:
+                img = und(raw)
+            else:
+                img = raw.astype(jnp.float32) * cfg.image_gain
+            return step(st, img, window, dt, cfg, mats)
+
+        self._fused_step = jax.jit(_fused)
+
     def reset(self):
         self.state = T.init_vio_state(self.config)
         self._last_ts = None
@@ -62,13 +79,8 @@ class VioRunner:
         frame_dt = 0.0 if self._last_ts is None else (ts_us - self._last_ts) / 1e6
         self._last_ts = ts_us
 
-        img = jnp.asarray(image)
-        if self.undistorter is not None:
-            img = self.undistorter(img)
-        else:
-            img = img.astype(jnp.float32) * self.config.image_gain
-        self.state, odo = step(
-            self.state, img, window, jnp.float32(frame_dt), self.config, self.mats
+        self.state, odo = self._fused_step(
+            self.state, jnp.asarray(image), window, jnp.float32(frame_dt)
         )
         return odo
 
@@ -107,12 +119,17 @@ class VioRunner:
             ts.append(int(seq.ts_us[i]))
             odos.append(odo)
             dev_img = nxt
+        # Batch the device->host fetch: stack all per-frame odometry on device
+        # (one dispatch) and read each field back once.  Per-frame per-field
+        # readbacks would cost 4N tunnel round-trips (~25 ms each on the
+        # remote backend) and dominate streaming wall-clock.
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *odos)
         return RunResult(
             ts_us=np.asarray(ts),
-            orientation=np.stack([np.asarray(o.orientation) for o in odos]),
-            position=np.stack([np.asarray(o.position) for o in odos]),
-            num_matches=np.asarray([int(o.num_matches) for o in odos]),
-            run_ok=np.asarray([bool(o.run_ok) for o in odos]),
+            orientation=np.asarray(stacked.orientation),
+            position=np.asarray(stacked.position),
+            num_matches=np.asarray(stacked.num_matches),
+            run_ok=np.asarray(stacked.run_ok),
         )
 
     def _pack_inputs(self, seq, lo: int, hi: int):
@@ -154,24 +171,26 @@ class VioRunner:
             self.state, odos = chunk_fn(
                 self.state, frames, imu_b, dts, self.config, self.mats
             )
-            ori.append(np.asarray(odos.orientation))
-            pos.append(np.asarray(odos.position))
-            nm.append(np.asarray(odos.num_matches))
-            ok.append(np.asarray(odos.run_ok))
+            ori.append(odos.orientation)
+            pos.append(odos.position)
+            nm.append(odos.num_matches)
+            ok.append(odos.run_ok)
             ts.extend(int(seq.ts_us[i]) for i in range(lo, lo + chunk))
         for i in range(n - n % chunk, n):  # tail: streaming path
             odo = self.process_frame(
                 seq.images[i], int(seq.ts_us[i]), seq.imu_ts_us, seq.imu_gyro, seq.imu_acc
             )
             ts.append(int(seq.ts_us[i]))
-            ori.append(np.asarray(odo.orientation)[None])
-            pos.append(np.asarray(odo.position)[None])
-            nm.append(np.asarray(odo.num_matches)[None])
-            ok.append(np.asarray(odo.run_ok)[None])
+            ori.append(odo.orientation[None])
+            pos.append(odo.position[None])
+            nm.append(odo.num_matches[None])
+            ok.append(odo.run_ok[None])
+        # readbacks deferred to the end (see run()): device concat, then one
+        # transfer per field instead of four per chunk
         return RunResult(
             ts_us=np.asarray(ts),
-            orientation=np.concatenate(ori),
-            position=np.concatenate(pos),
-            num_matches=np.concatenate(nm),
-            run_ok=np.concatenate(ok),
+            orientation=np.asarray(jnp.concatenate(ori)),
+            position=np.asarray(jnp.concatenate(pos)),
+            num_matches=np.asarray(jnp.concatenate(nm)),
+            run_ok=np.asarray(jnp.concatenate(ok)),
         )

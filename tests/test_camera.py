@@ -49,3 +49,20 @@ def test_camera_config_json_roundtrip(tmp_path):
     cam2 = CameraConfig.from_json(p)
     assert cam2 == cam
     assert np.allclose(cam2.R_c2i_np(), cam.R_c2i_np())
+
+
+def test_undistorter_u8_fast_path_matches_f32_remap():
+    """The packed-lane uint8 remap (Undistorter._remap_u8) must agree with
+    the general f32 bilinear gather to FP-reassociation tolerance."""
+    from rebvio_tpu.camera import Undistorter
+
+    cam = CameraConfig()
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, size=(cam.rows, cam.cols), dtype=np.uint8)
+    und = Undistorter(cam, gain=3.0)
+    fast = np.asarray(und(jnp.asarray(raw)))                     # u8 path
+    ref = np.asarray(
+        remap_bilinear(jnp.asarray(raw.astype(np.float32) * 3.0), und.grid)
+    )
+    assert fast.shape == ref.shape
+    assert np.abs(fast - ref).max() < 1e-3
