@@ -144,12 +144,13 @@ class ImuConfig:
     sample_max: int = 32             # static per-frame IMU sample buffer size
     # SAB Gauss-Newton iterations.  The reference runs a fixed 20 (its
     # convergence tolerances default to 0, sab_estimator.hpp:72), but the
-    # solve converges far earlier: 20/12/8 iterations produce an IDENTICAL
-    # trajectory against the reference binary's golden run (cross-ATE
-    # 0.0198 m at every setting, measured round 3).  8 is the product
-    # default; the GN chain is op-latency-bound on TPU, so this is a direct
-    # ~0.4 ms/frame saving at the reference's 16k-keyline configuration.
-    sab_iterations: int = 8
+    # solve converges far earlier: 20/12/8/5/4 iterations all produce an
+    # IDENTICAL trajectory against the reference binary's golden run
+    # (cross-ATE 0.0305 m at every setting on the seed0/120 anchor,
+    # measured round 3).  5 is the product default (one-iteration margin
+    # over the smallest identical setting); the GN chain is op-latency-
+    # bound on TPU, so each iteration dropped is a direct per-frame saving.
+    sab_iterations: int = 5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -106,7 +106,9 @@ def detect(
     # index IS the key, so it is recovered by negation instead of sorting a
     # values/index pair.  Measured on v5e: full lax.sort of [360k] = 0.21 ms
     # vs lax.top_k's 0.43 ms (and ~5x cheaper than cumsum+searchsorted's ~19
-    # serial scalar gathers, ~7x cheaper than jnp.nonzero's scatter).
+    # serial scalar gathers, ~7x cheaper than jnp.nonzero's scatter; a
+    # flat-cumsum rank + .set-scatter formulation re-measured round 3 at
+    # ~1 ms — the [360k] cumsum is the slow part — and was reverted).
     cand_flat = cand.reshape(-1)
     total = jnp.sum(cand_flat.astype(jnp.float32))
     count = jnp.minimum(total, kmax).astype(jnp.int32)
@@ -188,9 +190,11 @@ def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:
     px = jnp.where(ty > 0, sx, sx_neg)
     py = jnp.where(ty > 0, 1, -1)
     base = (y + 1) * Wp + (x + 1)
-    c1 = pad[base + px]
-    c2 = pad[base + py * Wp]
-    c3 = pad[base + py * Wp + px]
+    # one [3K] gather instead of three [K] gathers — the three probes are
+    # each launch-latency-bound, not volume-bound
+    idx3 = jnp.stack([base + px, base + py * Wp, base + py * Wp + px], 1).reshape(-1)
+    c = pad[idx3].reshape(kmax, 3)
+    c1, c2, c3 = c[:, 0], c[:, 1], c[:, 2]
     id_next_f = jnp.where(c1 >= 0, c1, jnp.where(c2 >= 0, c2, c3))
     id_next = jnp.where(valid, id_next_f.astype(jnp.int32), -1)
 

@@ -415,8 +415,16 @@ def directed_match_tube(
     gate_ang = gdot / denom >= cang_min
     gate_norm = jnp.abs(gn_old / jnp.where(new.grad_norm[:, None] > 0, new.grad_norm[:, None], 1.0) - 1.0) <= cfg.match_threshold_norm
 
-    dyn = jnp.stack([old.rho, old.sigma_rho], axis=-1)  # [K,2] dynamic pair
-    drow = dyn[os]                             # [K,P,2] level-2 gather
+    # [K,4] dynamic row: depth pair (EKF-evolved) + the two int counters as
+    # exact f32 (values < 2^24).  Folding the counters in here removes the
+    # post-winner cnt_pack[ws] gather — one fewer dependent-gather kernel on
+    # the matcher's latency chain.
+    dyn = jnp.stack(
+        [old.rho, old.sigma_rho,
+         old.matches.astype(jnp.float32),
+         old.match_id_keyframe.astype(jnp.float32)], axis=-1,
+    )
+    drow = dyn[os]                             # [K,P,4] level-2 gather
     rho_old = drow[..., 0]
     sr_old = drow[..., 1]
     v_rho_dr = pum * pum + sr_old * sr_old * nt_eff[:, None] ** 2 + sigma2_t[:, None] * rho_old * rho_old
@@ -426,18 +434,25 @@ def directed_match_tube(
     ok = new.valid[:, None] & has & gate_tube & gate_window & gate_ang & gate_norm & gate_depth
     prio = jnp.where(ok, jnp.abs(t_eff - dq_rho[:, None]), jnp.float32(1e9))
     best = jnp.argmin(prio, axis=1)
-    found = jnp.take_along_axis(ok, best[:, None], axis=1)[:, 0]
-    match = jnp.where(found, jnp.take_along_axis(oid, best[:, None], axis=1)[:, 0], -1)
 
-    # Winner fields: depth pair + statics from the already-gathered probe
-    # rows; the winner's rotated pos_img replays from its seed pos; the two
-    # int counters are one [K,2] winner gather.
-    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
-    w_rho = take(rho_old)
-    w_sigma_rho = take(sr_old)
-    w_grad = jnp.take_along_axis(g_old, best[:, None, None], axis=1)[:, 0, :]
-    w_grad_norm = take(gn_old)
-    w_seed = jnp.take_along_axis(seed, best[:, None, None], axis=1)[:, 0, :]
+    # Winner fields: everything the winner resolve needs is already in
+    # registers ([K,P,*] candidate planes), so pack it into one [K,P,11]
+    # tensor and do a SINGLE take_along_axis instead of seven — one winner
+    # kernel instead of a chain of small dependent gathers.
+    cand = jnp.concatenate(
+        [prio[..., None], oid.astype(jnp.float32)[..., None],
+         rho_old[..., None], sr_old[..., None], g_old, gn_old[..., None],
+         seed, drow[..., 2:4]], axis=-1,
+    )                                          # [K,P,11]
+    win = jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0, :]
+    found = win[:, 0] < 1e9
+    match = jnp.where(found, win[:, 1].astype(jnp.int32), -1)
+    w_rho = win[:, 2]
+    w_sigma_rho = win[:, 3]
+    w_grad = win[:, 4:6]
+    w_grad_norm = win[:, 6]
+    w_seed = win[:, 7:9]
+    wcnt = win[:, 9:11]
     p0 = jnp.concatenate(
         [(w_seed - jnp.asarray([cam.cx, cam.cy], jnp.float32)) / fm,
          jnp.ones((kmax, 1), jnp.float32)], axis=-1,
@@ -445,12 +460,6 @@ def directed_match_tube(
     p0z = jnp.where(p0[:, 2] != 0, p0[:, 2], 1e-20)
     w_pos_img = p0[:, :2] * (fm / p0z)[:, None]
 
-    cnt_pack = jnp.stack(
-        [old.matches.astype(jnp.float32),
-         old.match_id_keyframe.astype(jnp.float32)], axis=-1,
-    )
-    ws = jnp.clip(match, 0, kmax - 1)
-    wcnt = cnt_pack[ws]                        # [K,2] winner-only gather
     new = new.replace(
         rho=jnp.where(found, w_rho, new.rho),
         sigma_rho=jnp.where(found, w_sigma_rho, new.sigma_rho),
