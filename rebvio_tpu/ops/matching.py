@@ -11,6 +11,7 @@ function's docstring for the exact correspondence).
 from __future__ import annotations
 
 import math
+import os as _os
 from functools import partial
 from typing import Tuple
 
@@ -19,6 +20,22 @@ import jax.numpy as jnp
 
 from rebvio_tpu import types as T
 from rebvio_tpu.configs import CameraConfig, CoreConfig, EdgeMapConfig
+
+
+def _use_pallas_tube(kmax: int, n_probes: int) -> bool:
+    """Post-gather tube-matcher math as one Pallas kernel on TPU
+    (pallas_kernels.tube_match_pallas).  REBVIO_PALLAS_TUBE=0/1 overrides.
+
+    Auto picks by candidate volume: the kernel needs ~11 [K,P]->[P,Kr,128]
+    plane transposes on the way in, so it only wins once the XLA gate/select
+    chain it replaces is volume-bound — measured on v5e: parity profile
+    (16k x 8 probes) 165 -> 201 fps with the kernel, fast profile (8k x 4)
+    298 -> 260 fps (transpose cost dominates), hence the 64k threshold."""
+    v = _os.environ.get("REBVIO_PALLAS_TUBE", "auto")
+    if v in ("0", "1"):
+        return v == "1" and kmax % 128 == 0
+    return (jax.default_backend() == "tpu" and kmax % 128 == 0
+            and kmax * n_probes >= 65536)
 
 _F32_MAX = 3.4028235e38
 
@@ -399,22 +416,6 @@ def directed_match_tube(
     has = oid >= 0
     os = jnp.clip(oid, 0, kmax - 1)
 
-    seed = rowp[..., ATT_POSX:ATT_POSX + 2]   # (x, y) detection pixel coords
-    dxs = seed[..., 0] - pi0x[:, None]
-    dys = seed[..., 1] - pi0y[:, None]
-    t_eff = dxs * tx[:, None] + dys * ty[:, None]
-    perp = jnp.abs(-dxs * ty[:, None] + dys * tx[:, None])
-    gate_tube = perp <= pum
-    gate_window = (t_eff >= dq_min[:, None]) & (t_eff <= dq_max[:, None])
-
-    g0 = rowp[..., ATT_GX:ATT_GX + 2]
-    g_old = g0 @ M2.T                          # rotated old gradient (replay)
-    gn_old = rowp[..., ATT_GN]                 # stale detection-time norm
-    gdot = g_old[..., 0] * new.grad[:, None, 0] + g_old[..., 1] * new.grad[:, None, 1]
-    denom = jnp.where(gn_old * new.grad_norm[:, None] > 0, gn_old * new.grad_norm[:, None], 1.0)
-    gate_ang = gdot / denom >= cang_min
-    gate_norm = jnp.abs(gn_old / jnp.where(new.grad_norm[:, None] > 0, new.grad_norm[:, None], 1.0) - 1.0) <= cfg.match_threshold_norm
-
     # [K,4] dynamic row: depth pair (EKF-evolved) + the two int counters as
     # exact f32 (values < 2^24).  Folding the counters in here removes the
     # post-winner cnt_pack[ws] gather — one fewer dependent-gather kernel on
@@ -425,34 +426,83 @@ def directed_match_tube(
          old.match_id_keyframe.astype(jnp.float32)], axis=-1,
     )
     drow = dyn[os]                             # [K,P,4] level-2 gather
-    rho_old = drow[..., 0]
-    sr_old = drow[..., 1]
-    v_rho_dr = pum * pum + sr_old * sr_old * nt_eff[:, None] ** 2 + sigma2_t[:, None] * rho_old * rho_old
-    resid = t_eff - nt_eff[:, None] * rho_old
-    gate_depth = ~(resid * resid > v_rho_dr)
 
-    ok = new.valid[:, None] & has & gate_tube & gate_window & gate_ang & gate_norm & gate_depth
-    prio = jnp.where(ok, jnp.abs(t_eff - dq_rho[:, None]), jnp.float32(1e9))
-    best = jnp.argmin(prio, axis=1)
+    if _use_pallas_tube(kmax, n_probes):
+        # Hybrid split (same as tracker.try_vel): XLA projects + gathers;
+        # every post-gather gate, the priority argmin, and the winner
+        # payload selection run as ONE Pallas kernel
+        # (pallas_kernels.tube_match_pallas) instead of a chain of [K,P]
+        # select/argmin/take kernels.
+        from rebvio_tpu.ops.pallas_kernels import tube_match_pallas
 
-    # Winner fields: everything the winner resolve needs is already in
-    # registers ([K,P,*] candidate planes), so pack it into one [K,P,11]
-    # tensor and do a SINGLE take_along_axis instead of seven — one winner
-    # kernel instead of a chain of small dependent gathers.
-    cand = jnp.concatenate(
-        [prio[..., None], oid.astype(jnp.float32)[..., None],
-         rho_old[..., None], sr_old[..., None], g_old, gn_old[..., None],
-         seed, drow[..., 2:4]], axis=-1,
-    )                                          # [K,P,11]
-    win = jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0, :]
-    found = win[:, 0] < 1e9
-    match = jnp.where(found, win[:, 1].astype(jnp.int32), -1)
-    w_rho = win[:, 2]
-    w_sigma_rho = win[:, 3]
-    w_grad = win[:, 4:6]
-    w_grad_norm = win[:, 6]
-    w_seed = win[:, 7:9]
-    wcnt = win[:, 9:11]
+        Kr = kmax // 128
+        P = n_probes
+        g_old_kp = rowp[..., ATT_GX:ATT_GX + 2] @ M2.T     # [K,P,2]
+        t2 = lambda a: a.T.reshape(P, Kr, 128)
+        att_t = jnp.stack([t2(rowp[..., ATT_ID]), t2(rowp[..., ATT_GN]),
+                           t2(rowp[..., ATT_POSX]), t2(rowp[..., ATT_POSX + 1])])
+        grot_t = jnp.stack([t2(g_old_kp[..., 0]), t2(g_old_kp[..., 1])])
+        dyn_t = jnp.stack([t2(drow[..., j]) for j in range(4)])
+        inb_t = t2(inb.astype(jnp.float32))
+        r1 = lambda a: a.reshape(Kr, 128)
+        kl = jnp.stack([r1(tx), r1(ty), r1(pi0x), r1(pi0y), r1(dq_min),
+                        r1(dq_max), r1(dq_rho), r1(nt_eff), r1(sigma2_t),
+                        r1(new.grad[:, 0]), r1(new.grad[:, 1]),
+                        r1(new.grad_norm), r1(new.sigma_rho),
+                        r1(new.valid.astype(jnp.float32))])
+        o = tube_match_pallas(att_t, grot_t, dyn_t, inb_t, kl, cfg, core_cfg).reshape(12, kmax)
+        found = o[0] > 0.5
+        match = jnp.where(found, o[1].astype(jnp.int32), -1)
+        w_rho, w_sigma_rho = o[2], o[3]
+        w_grad = jnp.stack([o[4], o[5]], axis=-1)
+        w_grad_norm = o[6]
+        w_seed = jnp.stack([o[7], o[8]], axis=-1)
+        wcnt = jnp.stack([o[9], o[10]], axis=-1)
+    else:
+        seed = rowp[..., ATT_POSX:ATT_POSX + 2]   # (x, y) detection pixel coords
+        dxs = seed[..., 0] - pi0x[:, None]
+        dys = seed[..., 1] - pi0y[:, None]
+        t_eff = dxs * tx[:, None] + dys * ty[:, None]
+        perp = jnp.abs(-dxs * ty[:, None] + dys * tx[:, None])
+        gate_tube = perp <= pum
+        gate_window = (t_eff >= dq_min[:, None]) & (t_eff <= dq_max[:, None])
+
+        g0 = rowp[..., ATT_GX:ATT_GX + 2]
+        g_old = g0 @ M2.T                          # rotated old gradient (replay)
+        gn_old = rowp[..., ATT_GN]                 # stale detection-time norm
+        gdot = g_old[..., 0] * new.grad[:, None, 0] + g_old[..., 1] * new.grad[:, None, 1]
+        denom = jnp.where(gn_old * new.grad_norm[:, None] > 0, gn_old * new.grad_norm[:, None], 1.0)
+        gate_ang = gdot / denom >= cang_min
+        gate_norm = jnp.abs(gn_old / jnp.where(new.grad_norm[:, None] > 0, new.grad_norm[:, None], 1.0) - 1.0) <= cfg.match_threshold_norm
+
+        rho_old = drow[..., 0]
+        sr_old = drow[..., 1]
+        v_rho_dr = pum * pum + sr_old * sr_old * nt_eff[:, None] ** 2 + sigma2_t[:, None] * rho_old * rho_old
+        resid = t_eff - nt_eff[:, None] * rho_old
+        gate_depth = ~(resid * resid > v_rho_dr)
+
+        ok = new.valid[:, None] & has & gate_tube & gate_window & gate_ang & gate_norm & gate_depth
+        prio = jnp.where(ok, jnp.abs(t_eff - dq_rho[:, None]), jnp.float32(1e9))
+        best = jnp.argmin(prio, axis=1)
+
+        # Winner fields: everything the winner resolve needs is already in
+        # registers ([K,P,*] candidate planes), so pack it into one [K,P,11]
+        # tensor and do a SINGLE take_along_axis instead of seven — one winner
+        # kernel instead of a chain of small dependent gathers.
+        cand = jnp.concatenate(
+            [prio[..., None], oid.astype(jnp.float32)[..., None],
+             rho_old[..., None], sr_old[..., None], g_old, gn_old[..., None],
+             seed, drow[..., 2:4]], axis=-1,
+        )                                          # [K,P,11]
+        win = jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0, :]
+        found = win[:, 0] < 1e9
+        match = jnp.where(found, win[:, 1].astype(jnp.int32), -1)
+        w_rho = win[:, 2]
+        w_sigma_rho = win[:, 3]
+        w_grad = win[:, 4:6]
+        w_grad_norm = win[:, 6]
+        w_seed = win[:, 7:9]
+        wcnt = win[:, 9:11]
     p0 = jnp.concatenate(
         [(w_seed - jnp.asarray([cam.cx, cam.cy], jnp.float32)) / fm,
          jnp.ones((kmax, 1), jnp.float32)], axis=-1,

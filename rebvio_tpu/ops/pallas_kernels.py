@@ -611,3 +611,112 @@ def try_vel_pallas(
       use_f, residuals, vel, att.T)
     Gp = G.sum(axis=0)
     return Gp[4, 0], Gp[0:4, 0:4], res, mif
+
+
+def tube_match_pallas(
+    att_t,         # [4, P, Kr, 128] (id, gn_old, posx, posy) att planes
+    grot_t,        # [2, P, Kr, 128] rotated old gradient (M2 applied in XLA)
+    dyn_t,         # [4, P, Kr, 128] (rho, sigma_rho, matches_f, kf_f)
+    inb_t,         # [P, Kr, 128] f32 in-bounds probe mask
+    kl,            # [14, Kr, 128] per-keyline planes: tx, ty, pi0x, pi0y,
+                   #   dq_min, dq_max, dq_rho, nt_eff, sigma2_t,
+                   #   ngx, ngy, ngn, nsr(unused), valid_f
+    cfg_edge,
+    cfg_core,
+    interpret: bool = False,
+):
+    """Post-gather half of the tube matcher as ONE Pallas kernel.
+
+    The XLA formulation of directed_match_tube (ops/matching.py) is, after
+    its two row gathers, a chain of [K,P] gate/select/argmin/take kernels
+    whose launch+latency dominates (~0.5 ms of the parity profile's 1.2 ms
+    stage).  Same hybrid split as try_vel_math_pallas: XLA projects the
+    probes and gathers the candidate rows; this kernel evaluates every gate
+    (tube, window, angle, norm, depth consistency — edge_map.cpp:153-181),
+    the priority argmin, and the winner payload selection with running
+    selects, in one launch.  Ties keep the lowest probe index, matching
+    jnp.argmin.  Returns [12, Kr, 128]: (found, match_id, rho, sigma_rho,
+    grad_x, grad_y, grad_norm, seed_x, seed_y, matches, kf, prio).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = att_t.shape[1]
+    Kr = att_t.shape[2]
+    pum = float(cfg_edge.pixel_uncertainty_match)
+    cang_min = float(np.cos(cfg_edge.match_threshold_angle * np.pi / 180.0))
+    norm_thr = float(cfg_edge.match_threshold_norm)
+    BIG = 1e9  # python float: Mosaic kernels may not capture traced constants
+
+    def kernel(att_ref, grot_ref, dyn_ref, inb_ref, kl_ref, out_ref):
+        tx = kl_ref[0]
+        ty = kl_ref[1]
+        pi0x = kl_ref[2]
+        pi0y = kl_ref[3]
+        dq_min = kl_ref[4]
+        dq_max = kl_ref[5]
+        dq_rho = kl_ref[6]
+        nt_eff = kl_ref[7]
+        sigma2_t = kl_ref[8]
+        ngx = kl_ref[9]
+        ngy = kl_ref[10]
+        ngn = kl_ref[11]
+        valid = kl_ref[13] > 0.5
+
+        zero = jnp.zeros((Kr, 128), jnp.float32)
+        best_prio = jnp.full((Kr, 128), BIG, jnp.float32)
+        best = [zero] * 10  # id, rho, sr, gx, gy, gn, seedx, seedy, m, kf
+
+        denom_n = jnp.where(ngn > 0, ngn, 1.0)
+        nt2 = nt_eff * nt_eff
+        pum2 = pum * pum
+
+        for p in range(P):
+            oid = att_ref[0, p]
+            gn_old = att_ref[1, p]
+            sx = att_ref[2, p]
+            sy = att_ref[3, p]
+            gx_r = grot_ref[0, p]
+            gy_r = grot_ref[1, p]
+            rho_o = dyn_ref[0, p]
+            sr_o = dyn_ref[1, p]
+            m_o = dyn_ref[2, p]
+            kf_o = dyn_ref[3, p]
+            has = (inb_ref[p] > 0.5) & (oid >= 0)
+
+            dxs = sx - pi0x
+            dys = sy - pi0y
+            t_eff = dxs * tx + dys * ty
+            perp = jnp.abs(-dxs * ty + dys * tx)
+            g_tube = perp <= pum
+            g_win = (t_eff >= dq_min) & (t_eff <= dq_max)
+            gdot = gx_r * ngx + gy_r * ngy
+            den = jnp.where(gn_old * ngn > 0, gn_old * ngn, 1.0)
+            g_ang = gdot / den >= cang_min
+            g_norm = jnp.abs(gn_old / denom_n - 1.0) <= norm_thr
+            v_rho_dr = pum2 + sr_o * sr_o * nt2 + sigma2_t * rho_o * rho_o
+            resid = t_eff - nt_eff * rho_o
+            g_depth = jnp.logical_not(resid * resid > v_rho_dr)
+
+            ok = valid & has & g_tube & g_win & g_ang & g_norm & g_depth
+            prio = jnp.where(ok, jnp.abs(t_eff - dq_rho), BIG)
+            upd = prio < best_prio      # strict: first probe wins ties
+            best_prio = jnp.where(upd, prio, best_prio)
+            payload = (oid, rho_o, sr_o, gx_r, gy_r, gn_old, sx, sy, m_o, kf_o)
+            best = [jnp.where(upd, v, b) for v, b in zip(payload, best)]
+
+        found = best_prio < BIG
+        out_ref[0] = found.astype(jnp.float32)
+        out_ref[1] = jnp.where(found, best[0], -1.0)
+        for j in range(1, 10):
+            out_ref[j + 1] = best[j]
+        out_ref[11] = best_prio
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((12, Kr, 128), jnp.float32),
+        in_specs=[vspec] * 5,
+        out_specs=vspec,
+        interpret=_auto_interpret(interpret),
+    )(att_t, grot_t, dyn_t, inb_t, kl)

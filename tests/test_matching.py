@@ -95,3 +95,62 @@ def test_directed_match_zero_velocity_branch():
                                       core_cfg.search_range, cfg_d, cam_d)
     agree = np.mean(got == want)
     assert agree >= 0.97, agree
+
+
+def test_tube_match_pallas_matches_xla(monkeypatch):
+    """The hybrid Pallas tube matcher (pallas_kernels.tube_match_pallas,
+    interpret mode on CPU) must reproduce the XLA formulation of
+    directed_match_tube on a real detected pair."""
+    from rebvio_tpu.configs import (
+        CameraConfig, CoreConfig, EdgeDetectorConfig, PipelineConfig,
+    )
+    from rebvio_tpu.data import synthetic
+    from rebvio_tpu.ops import distance_field as DF, edge_detect
+    from rebvio_tpu.pipeline import frontend_matrices
+
+    cam_c = CameraConfig(rows=120, cols=188, fx=114.6, fy=114.3, cx=91.8,
+                         cy=62.1, k1=0, k2=0, k3=0, p1=0, p2=0)
+    det = EdgeDetectorConfig(keylines_max=2048, keylines_ref=1200)
+    core_cfg = CoreConfig(search_range=10)
+    cfg = PipelineConfig(camera=cam_c, detector=det, core=core_cfg)
+    em_cfg = cfg.edge_map
+    mats = frontend_matrices(cfg)
+    seq = synthetic.generate(cam_c, n_frames=2, seed=3)
+    old = edge_detect.detect(jnp.asarray(seq.images[0] * 3.0), jnp.float32(0.01),
+                             mats, det, cam_c)
+    new = edge_detect.detect(jnp.asarray(seq.images[1] * 3.0), jnp.float32(0.01),
+                             mats, det, cam_c)
+    att = DF.build_att_field(old, int(core_cfg.search_range), cam_c.rows, cam_c.cols, 1)
+    old = old.replace(att_img=att)
+    # spread rho/sigma so the depth gate exercises both branches
+    rng = np.random.RandomState(5)
+    old = old.replace(
+        rho=jnp.asarray(0.5 + np.abs(rng.randn(det.keylines_max)).astype(np.float32)),
+        sigma_rho=jnp.asarray(0.3 + np.abs(rng.randn(det.keylines_max)).astype(np.float32)),
+        matches=jnp.asarray(rng.randint(0, 9, det.keylines_max), jnp.int32),
+    )
+    vel = jnp.asarray([0.004, -0.002, 0.01], jnp.float32)
+    Rvel = jnp.asarray(np.eye(3, dtype=np.float32) * 1e-5)
+    Rback = jnp.asarray(np.eye(3, dtype=np.float32))
+
+    monkeypatch.setenv("REBVIO_PALLAS_TUBE", "0")
+    want, n_want = matching.directed_match_tube(
+        new, old, vel, Rvel, Rback, em_cfg, core_cfg, cam_c)
+    monkeypatch.setenv("REBVIO_PALLAS_TUBE", "1")
+    got, n_got = matching.directed_match_tube(
+        new, old, vel, Rvel, Rback, em_cfg, core_cfg, cam_c)
+
+    assert int(n_want) > 50  # the scene must actually produce matches
+    assert int(n_got) == int(n_want)
+    np.testing.assert_array_equal(np.asarray(got.match_id), np.asarray(want.match_id))
+    np.testing.assert_array_equal(np.asarray(got.matches), np.asarray(want.matches))
+    np.testing.assert_array_equal(np.asarray(got.match_id_keyframe),
+                                  np.asarray(want.match_id_keyframe))
+    for f in ("rho", "sigma_rho", "match_grad_norm"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                   np.asarray(getattr(want, f)),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.match_pos_img),
+                               np.asarray(want.match_pos_img), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.match_grad),
+                               np.asarray(want.match_grad), rtol=1e-5, atol=1e-6)
