@@ -26,16 +26,16 @@ def _use_pallas_tube(kmax: int, n_probes: int) -> bool:
     """Post-gather tube-matcher math as one Pallas kernel on TPU
     (pallas_kernels.tube_match_pallas).  REBVIO_PALLAS_TUBE=0/1 overrides.
 
-    Auto picks by candidate volume: the kernel needs ~11 [K,P]->[P,Kr,128]
-    plane transposes on the way in, so it only wins once the XLA gate/select
-    chain it replaces is volume-bound — measured on v5e: parity profile
-    (16k x 8 probes) 165 -> 201 fps with the kernel, fast profile (8k x 4)
-    298 -> 260 fps (transpose cost dominates), hence the 64k threshold."""
+    An earlier formulation lost at small volumes (~11 per-lane payload
+    transposes into the kernel's plane layout cost more than the replaced
+    XLA chain below 64k candidates); gathering with TRANSPOSED [P,K]
+    indices instead makes the payload land in plane layout, and the kernel
+    now wins at every profile — measured on v5e: fast (8k x 4 probes)
+    293 -> 333 fps, parity (16k x 8) 165 -> 225 fps."""
     v = _os.environ.get("REBVIO_PALLAS_TUBE", "auto")
     if v in ("0", "1"):
         return v == "1" and kmax % 128 == 0
-    return (jax.default_backend() == "tpu" and kmax % 128 == 0
-            and kmax * n_probes >= 65536)
+    return jax.default_backend() == "tpu" and kmax % 128 == 0
 
 _F32_MAX = 3.4028235e38
 
@@ -411,11 +411,6 @@ def directed_match_tube(
     R_tot = Rback.T
     M2 = R_tot[:2, :2] if grad_rot2 is None else grad_rot2
 
-    rowp = old.att_img[pidx]                  # [K,P,8]
-    oid = jnp.where(inb, rowp[..., ATT_ID].astype(jnp.int32), -1)
-    has = oid >= 0
-    os = jnp.clip(oid, 0, kmax - 1)
-
     # [K,4] dynamic row: depth pair (EKF-evolved) + the two int counters as
     # exact f32 (values < 2^24).  Folding the counters in here removes the
     # post-winner cnt_pack[ws] gather — one fewer dependent-gather kernel on
@@ -425,25 +420,36 @@ def directed_match_tube(
          old.matches.astype(jnp.float32),
          old.match_id_keyframe.astype(jnp.float32)], axis=-1,
     )
-    drow = dyn[os]                             # [K,P,4] level-2 gather
 
     if _use_pallas_tube(kmax, n_probes):
         # Hybrid split (same as tracker.try_vel): XLA projects + gathers;
         # every post-gather gate, the priority argmin, and the winner
         # payload selection run as ONE Pallas kernel
         # (pallas_kernels.tube_match_pallas) instead of a chain of [K,P]
-        # select/argmin/take kernels.
+        # select/argmin/take kernels.  The gathers use TRANSPOSED indices
+        # ([P,K] — transposing the 4-byte index plane, not the gathered
+        # payload) so the [P,K,*] results reshape to the kernel's
+        # [*,P,Kr,128] plane layout with a single moveaxis each instead of
+        # per-lane payload transposes.
         from rebvio_tpu.ops.pallas_kernels import tube_match_pallas
 
         Kr = kmax // 128
         P = n_probes
-        g_old_kp = rowp[..., ATT_GX:ATT_GX + 2] @ M2.T     # [K,P,2]
-        t2 = lambda a: a.T.reshape(P, Kr, 128)
-        att_t = jnp.stack([t2(rowp[..., ATT_ID]), t2(rowp[..., ATT_GN]),
-                           t2(rowp[..., ATT_POSX]), t2(rowp[..., ATT_POSX + 1])])
-        grot_t = jnp.stack([t2(g_old_kp[..., 0]), t2(g_old_kp[..., 1])])
-        dyn_t = jnp.stack([t2(drow[..., j]) for j in range(4)])
-        inb_t = t2(inb.astype(jnp.float32))
+        rowp_t = old.att_img[pidx.T]                       # [P,K,8]
+        inb_tb = inb.T                                     # [P,K]
+        idf_t = rowp_t[..., ATT_ID]
+        os_t = jnp.clip(
+            jnp.where(inb_tb, idf_t.astype(jnp.int32), -1), 0, kmax - 1)
+        drow_t = dyn[os_t]                                 # [P,K,4]
+        att_pk = jnp.moveaxis(rowp_t, -1, 0)               # [8,P,K]
+        gxr = att_pk[ATT_GX] * M2[0, 0] + att_pk[ATT_GX + 1] * M2[0, 1]
+        gyr = att_pk[ATT_GX] * M2[1, 0] + att_pk[ATT_GX + 1] * M2[1, 1]
+        att_t = jnp.stack([att_pk[ATT_ID], att_pk[ATT_GN],
+                           att_pk[ATT_POSX], att_pk[ATT_POSX + 1]]
+                          ).reshape(4, P, Kr, 128)
+        grot_t = jnp.stack([gxr, gyr]).reshape(2, P, Kr, 128)
+        dyn_t = jnp.moveaxis(drow_t, -1, 0).reshape(4, P, Kr, 128)
+        inb_t = inb_tb.astype(jnp.float32).reshape(P, Kr, 128)
         r1 = lambda a: a.reshape(Kr, 128)
         kl = jnp.stack([r1(tx), r1(ty), r1(pi0x), r1(pi0y), r1(dq_min),
                         r1(dq_max), r1(dq_rho), r1(nt_eff), r1(sigma2_t),
@@ -459,6 +465,11 @@ def directed_match_tube(
         w_seed = jnp.stack([o[7], o[8]], axis=-1)
         wcnt = jnp.stack([o[9], o[10]], axis=-1)
     else:
+        rowp = old.att_img[pidx]                  # [K,P,8]
+        oid = jnp.where(inb, rowp[..., ATT_ID].astype(jnp.int32), -1)
+        has = oid >= 0
+        os = jnp.clip(oid, 0, kmax - 1)
+        drow = dyn[os]                             # [K,P,4] level-2 gather
         seed = rowp[..., ATT_POSX:ATT_POSX + 2]   # (x, y) detection pixel coords
         dxs = seed[..., 0] - pi0x[:, None]
         dys = seed[..., 1] - pi0y[:, None]

@@ -161,15 +161,22 @@ def att_field_pallas(
     BIG = jnp.float32(1e9)
     n = rows * cols
 
-    def seed(vals, fill):
-        return jnp.full((n,), fill, jnp.float32).at[flat].set(
-            vals, mode="drop").reshape(rows, cols)
-
-    sy0 = seed(pos_y, BIG)
-    sx0 = seed(pos_x, BIG)
-    id0 = seed(jnp.arange(kmax, dtype=jnp.float32), -1.0)
-    gx0 = seed(em.grad[:, 0], 0.0)
-    gy0 = seed(em.grad[:, 1], 0.0)
+    # ONE scatter seeds all five planes (sy, sx, id, gx, gy): five separate
+    # .at[].set scatters each cost a full kernel launch; the planes share
+    # the same index structure, so scatter [5K] values into the [5n] flat
+    # buffer at plane-offset indices instead.
+    vals5 = jnp.concatenate([
+        pos_y, pos_x, jnp.arange(kmax, dtype=jnp.float32),
+        em.grad[:, 0], em.grad[:, 1],
+    ])
+    offs = jnp.arange(5, dtype=jnp.int32)[:, None] * n
+    flat5 = jnp.where(inb[None, :], flat[None, :] + offs, 5 * n).reshape(-1)
+    fills = jnp.concatenate([
+        jnp.full((n,), BIG, jnp.float32), jnp.full((n,), BIG, jnp.float32),
+        jnp.full((n,), -1.0, jnp.float32),
+        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+    ])
+    planes5 = fills.at[flat5].set(vals5, mode="drop").reshape(5, rows, cols)
 
     steps = []
     s = 1
@@ -182,10 +189,10 @@ def att_field_pallas(
     r2 = float(search_range * search_range)
     fscale = float(scale)
 
-    def kernel(sy_ref, sx_ref, id_ref, gx_ref, gy_ref, out_ref):
+    def kernel(p_ref, out_ref):
         yy = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(jnp.float32)
         xx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1).astype(jnp.float32)
-        st = (sy_ref[:], sx_ref[:], id_ref[:], gx_ref[:], gy_ref[:])
+        st = (p_ref[0], p_ref[1], p_ref[2], p_ref[3], p_ref[4])
         big = jnp.float32(1e9)
 
         def d2_of(sy, sx, idf):
@@ -225,10 +232,10 @@ def att_field_pallas(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((8, rows, cols), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_auto_interpret(interpret),
-    )(sy0, sx0, id0, gx0, gy0)
+    )(planes5)
     return out.reshape(8, n).T
 
 
