@@ -384,10 +384,14 @@ def regularize_and_update_depth(
     )  # padded to 8 so the row gather stays on the fast slice path
     Kr = kmax // 128
     rs = lambda a: a.reshape(Kr, 128)
-    rs5 = lambda a: a[:, :5].T.reshape(5, Kr, 128)
+    # ONE [2,K]-indexed gather for both neighbors (transposed-index trick:
+    # the [2,K,8] result moveaxis-reshapes into the kernel's plane layout,
+    # no per-lane payload transposes, one gather kernel instead of two)
+    rows2 = pack[jnp.stack([nx, pv])]                     # [2,K,8]
+    t5 = jnp.moveaxis(rows2[..., :5], -1, 0).reshape(5, 2, Kr, 128)
     ekf_m = em.valid & (em.match_id >= 0)
     rho_out, sr_out = reg_ekf_pallas(
-        rs(em.rho), rs(em.sigma_rho), rs5(pack[nx]), rs5(pack[pv]),
+        rs(em.rho), rs(em.sigma_rho), t5[:, 0], t5[:, 1],
         rs(has_nb.astype(jnp.float32)), rs(ekf_m.astype(jnp.float32)),
         rs(em.pos_img[:, 0]), rs(em.pos_img[:, 1]),
         rs(em.match_pos_img[:, 0]), rs(em.match_pos_img[:, 1]),
