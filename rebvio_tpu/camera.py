@@ -89,7 +89,8 @@ class Undistorter:
       denormal/NaN canonicalization), a 4-lane window row covers all four
       bilinear taps (top/bottom pair each), and one [N,4] row gather feeds
       a masked weighted sum.  Measured ~1.5 ms/frame, bit-identical to the
-      f32 reference path up to summation order.
+      f32 reference path up to summation order (including image borders:
+      partial 2x2 footprints use per-tap zero fill like remap_bilinear).
     - float input (synthetic/test path): the plain remap_bilinear gather.
     """
 
@@ -108,15 +109,36 @@ class Undistorter:
         y0 = np.floor(sy).astype(np.int64)
         fx = (sx - x0).astype(np.float32)
         fy = (sy - y0).astype(np.float32)
-        inb = (y0 >= 0) & (y0 < H - 1) & (x0 >= 0) & (x0 < W - 1)
-        y0c = np.clip(y0, 0, H - 2)
-        x0c = np.clip(x0, 0, W - 2)
-        self._bl = jnp.asarray((y0c * Q + (x0c >> 1)).astype(np.int32))
-        self._off = jnp.asarray((x0c & 1).astype(np.int32))
-        self._w = [
-            jnp.asarray((w * inb).astype(np.float32))
-            for w in ((1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy)
-        ]
+        # Border handling matches remap_bilinear's per-tap zero fill (a
+        # partial 2x2 footprint evaluates its in-bounds taps; ADVICE r3: the
+        # old packed path zeroed the whole output pixel instead).  Each tap
+        # maps host-side to (fetched row: top/bottom, lane 0..3) of the
+        # gathered 4-lane window, and its bilinear weight lands in one of two
+        # precomputed [N,4] per-lane weight planes — invalid taps get weight
+        # 0, so the wraparound a clipped base can reach is never read.  Same
+        # runtime cost as the old mask form (two [N,4] multiplies).
+        y0c = np.clip(y0, 0, H - 1)
+        x0c = np.clip(x0, 0, W - 1)
+        b = x0c >> 1
+        N = sx.shape[0]
+        wtop = np.zeros((N, 4), np.float32)
+        wbot = np.zeros((N, 4), np.float32)
+        rows_idx = np.arange(N)
+        for ty, tx, w in (
+            (y0, x0, (1 - fx) * (1 - fy)),
+            (y0, x0 + 1, fx * (1 - fy)),
+            (y0 + 1, x0, (1 - fx) * fy),
+            (y0 + 1, x0 + 1, fx * fy),
+        ):
+            valid = (ty >= 0) & (ty < H) & (tx >= 0) & (tx < W)
+            lane = np.clip(tx - 2 * b, 0, 3)  # in [0,3] whenever valid
+            is_top = ty == y0c                # else the fetched bottom row
+            wv = np.where(valid, w, 0.0).astype(np.float32)
+            np.add.at(wtop, (rows_idx, lane), wv * is_top)
+            np.add.at(wbot, (rows_idx, lane), wv * (~is_top))
+        self._bl = jnp.asarray((y0c * Q + b).astype(np.int32))
+        self._wtop = jnp.asarray(wtop)
+        self._wbot = jnp.asarray(wbot)
 
     def _remap_u8(self, raw: jnp.ndarray) -> jnp.ndarray:
         H, W = self._hw
@@ -131,13 +153,7 @@ class Undistorter:
         lo = q - hi * 256.0
         top = jnp.stack([hi[:, 0], lo[:, 0], hi[:, 1], lo[:, 1]], 1)   # [N,4] pixels
         bot = jnp.stack([hi[:, 2], lo[:, 2], hi[:, 3], lo[:, 3]], 1)
-        o = self._off[:, None]
-        pxs = jnp.arange(4, dtype=jnp.int32)[None, :]
-        m0 = (pxs == o).astype(jnp.float32)
-        m1 = (pxs == o + 1).astype(jnp.float32)
-        w = self._w
-        out = ((top * (m0 * w[0][:, None] + m1 * w[1][:, None])).sum(1)
-               + (bot * (m0 * w[2][:, None] + m1 * w[3][:, None])).sum(1))
+        out = (top * self._wtop).sum(1) + (bot * self._wbot).sum(1)
         return (out * self.gain).reshape(H, W)
 
     def __call__(self, raw: jnp.ndarray) -> jnp.ndarray:

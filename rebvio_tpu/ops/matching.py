@@ -299,7 +299,6 @@ def directed_match(
     return new, jnp.sum(found).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "core_cfg", "cam", "n_probes", "field_scale"))
 def directed_match_tube(
     new: T.EdgeMap,
     old: T.EdgeMap,
@@ -312,6 +311,34 @@ def directed_match_tube(
     n_probes: int = 0,
     field_scale: int = 1,
     grad_rot2: jnp.ndarray = None,
+    use_pallas: bool = None,
+) -> Tuple[T.EdgeMap, jnp.ndarray]:
+    """Resolve the XLA-vs-Pallas path OUTSIDE the jit cache (use_pallas=None
+    re-reads REBVIO_PALLAS_TUBE on every call; a jit-cached trace would bake
+    the first call's env value in forever), then dispatch to the per-path
+    compiled implementation.  See _directed_match_tube_impl for semantics."""
+    if use_pallas is None:
+        use_pallas = _use_pallas_tube(new.kmax, n_probes or cfg.tube_probes)
+    return _directed_match_tube_impl(
+        new, old, vel, Rvel, Rback, cfg, core_cfg, cam, n_probes,
+        field_scale, grad_rot2, use_pallas)
+
+
+@partial(jax.jit, static_argnames=("cfg", "core_cfg", "cam", "n_probes",
+                                   "field_scale", "use_pallas"))
+def _directed_match_tube_impl(
+    new: T.EdgeMap,
+    old: T.EdgeMap,
+    vel: jnp.ndarray,
+    Rvel: jnp.ndarray,
+    Rback: jnp.ndarray,
+    cfg: EdgeMapConfig,
+    core_cfg: CoreConfig,
+    cam: CameraConfig,
+    n_probes: int = 0,
+    field_scale: int = 1,
+    grad_rot2: jnp.ndarray = None,
+    use_pallas: bool = False,
 ) -> Tuple[T.EdgeMap, jnp.ndarray]:
     """Epipolar matching via the dense nearest-keyline field (TPU-first
     redesign of searchMatch's pixel walk, edge_map.cpp:101-184).
@@ -421,7 +448,7 @@ def directed_match_tube(
          old.match_id_keyframe.astype(jnp.float32)], axis=-1,
     )
 
-    if _use_pallas_tube(kmax, n_probes):
+    if use_pallas and kmax % 128 == 0:
         # Hybrid split (same as tracker.try_vel): XLA projects + gathers;
         # every post-gather gate, the priority argmin, and the winner
         # payload selection run as ONE Pallas kernel

@@ -49,15 +49,19 @@ class VioRunner:
         # followed by the step dispatch (reference does the undistort on its
         # acquisition thread, rebvio.cpp:38-48 — here it fuses into the same
         # device program).
-        und, cfg, mats = self.undistorter, self.config, self.mats
+        und, cfg = self.undistorter, self.config
 
-        def _fused(st, raw, window, dt):
+        def _fused(st, raw, window, dt, mats):
             if und is not None:
                 img = und(raw)
             else:
                 img = raw.astype(jnp.float32) * cfg.image_gain
             return step(st, img, window, dt, cfg, mats)
 
+        # mats is an explicit argument (not a closure capture) so the remote
+        # backend uploads the banded frontend matrices once and the compiled
+        # program references them by buffer, instead of re-shipping them as
+        # constants inside the executable (see pipeline.frontend_matrices).
         self._fused_step = jax.jit(_fused)
 
     def reset(self):
@@ -80,7 +84,8 @@ class VioRunner:
         self._last_ts = ts_us
 
         self.state, odo = self._fused_step(
-            self.state, jnp.asarray(image), window, jnp.float32(frame_dt)
+            self.state, jnp.asarray(image), window, jnp.float32(frame_dt),
+            self.mats,
         )
         return odo
 

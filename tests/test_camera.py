@@ -66,3 +66,28 @@ def test_undistorter_u8_fast_path_matches_f32_remap():
     )
     assert fast.shape == ref.shape
     assert np.abs(fast - ref).max() < 1e-3
+
+
+def test_undistorter_u8_border_partial_footprints():
+    """A camera whose undistort map samples on/near the last row and column
+    (partial 2x2 bilinear footprints) must agree between the packed uint8
+    path and remap_bilinear — the packed path's per-tap masks reproduce
+    remap_bilinear's per-tap zero fill exactly (ADVICE r3: the old packed
+    path zeroed any pixel whose footprint was not fully interior)."""
+    # pincushion-style distortion (k1>0) pushes border samples OUTWARD, so
+    # the map lands on / beyond the last row and column
+    cam = CameraConfig(rows=32, cols=48, cx=24.3, cy=16.7, fx=30, fy=30,
+                       k1=0.2, k2=0.0, k3=0.0, p1=0.01, p2=-0.01)
+    grid = make_undistort_map(cam)
+    # the scenario must actually occur: some samples with x0 or y0 on the
+    # last row/col (partial footprint) but still partially in bounds
+    x0 = np.floor(grid[..., 0]); y0 = np.floor(grid[..., 1])
+    partial = ((x0 == cam.cols - 1) & (y0 >= 0) & (y0 < cam.rows)) | \
+              ((y0 == cam.rows - 1) & (x0 >= 0) & (x0 < cam.cols))
+    assert partial.any(), "test camera does not exercise partial footprints"
+    rng = np.random.default_rng(1)
+    raw = rng.integers(1, 256, size=(cam.rows, cam.cols), dtype=np.uint8)
+    und = Undistorter(cam, gain=1.0)
+    fast = np.asarray(und(jnp.asarray(raw)))
+    ref = np.asarray(remap_bilinear(jnp.asarray(raw.astype(np.float32)), und.grid))
+    assert np.abs(fast - ref).max() < 1e-3
