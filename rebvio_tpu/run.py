@@ -57,6 +57,15 @@ def main(argv=None):
     ap.add_argument("--matcher", choices=["tube", "walk"], default="tube",
                     help="epipolar matcher: TPU-first tube probe or the "
                          "reference's pixel walk")
+    ap.add_argument("--realtime", type=float, default=0.0, metavar="SPEED",
+                    help="pace frames at sensor rate x SPEED with keep-up "
+                         "semantics: a bounded queue drops frames when the "
+                         "estimator falls behind (the reference's paced "
+                         "rosbag player + subscriber queues, "
+                         "ros_rebvio.cpp:89-126); reports processed/dropped "
+                         "and worst-case latency")
+    ap.add_argument("--rt-queue", type=int, default=2,
+                    help="realtime mode bounded queue depth")
     ap.add_argument("--chunk", type=int, default=0,
                     help="frames per device dispatch (lax.scan offline fast "
                          "path; 0/1 = streaming, one dispatch per frame)")
@@ -137,8 +146,11 @@ def main(argv=None):
     if args.ba or args.pose_graph:
         from rebvio_tpu.ba.keyframe_map import KeyframeMapBuilder
 
+        # chunk-aligned keyframes (phase = end of chunk) let run_mapped
+        # snapshot the device edge map without per-frame readbacks
         builder = KeyframeMapBuilder(config, kf_every=args.kf_every,
-                                     store_maps=args.pose_graph)
+                                     store_maps=args.pose_graph,
+                                     kf_phase=args.kf_every - 1)
 
     # warm the jit on frame 0 so the fps figure reflects steady state
     runner.process_frame(
@@ -148,26 +160,20 @@ def main(argv=None):
     runner.reset()
 
     t0 = time.time()
-    if builder is None:
+    rt = None
+    if args.realtime > 0:
+        if builder is not None or args.chunk:
+            ap.error("--realtime is a streaming mode (no --ba/--pose-graph/--chunk)")
+        rt = runner.run_realtime(seq, speed=args.realtime,
+                                 queue_size=args.rt_queue)
+        res = rt.result
+    elif builder is None:
         res = runner.run(seq, chunk=args.chunk,
                          pipelined=(args.chunk_mode == "pipelined"))
     else:
-        ts_l, ori_l, pos_l, nm_l, ok_l = [], [], [], [], []
-        for i in range(len(seq.images)):
-            odo = runner.process_frame(
-                seq.images[i], int(seq.ts_us[i]), seq.imu_ts_us, seq.imu_gyro, seq.imu_acc
-            )
-            builder.add_frame(runner.state.edge_map, np.asarray(odo.orientation),
-                              np.asarray(odo.position), K_scale=float(runner.state.K))
-            ts_l.append(int(seq.ts_us[i]))
-            ori_l.append(np.asarray(odo.orientation))
-            pos_l.append(np.asarray(odo.position))
-            nm_l.append(int(odo.num_matches))
-            ok_l.append(bool(odo.run_ok))
-        from rebvio_tpu.runner import RunResult
-
-        res = RunResult(np.asarray(ts_l), np.stack(ori_l), np.stack(pos_l),
-                        np.asarray(nm_l), np.asarray(ok_l))
+        # mapping at chunked speed: one batched trace readback per
+        # kf_every-frame chunk (VioRunner.run_mapped)
+        res = runner.run_mapped(seq, builder, chunk=args.kf_every)
     elapsed = time.time() - t0
     n = len(res.ts_us)
     log.info("%d frames in %.2fs (%.1f fps), run_ok=%s", n, elapsed, n / elapsed, bool(res.run_ok[-1]))
@@ -182,6 +188,11 @@ def main(argv=None):
         log.info("state checkpoint written to %s", args.checkpoint_out)
 
     out = {"frames": n, "fps": n / elapsed, "run_ok": bool(res.run_ok[-1])}
+    if rt is not None:
+        out["realtime_speed"] = args.realtime
+        out["rt_processed"] = rt.processed
+        out["rt_dropped"] = rt.dropped
+        out["rt_worst_latency_ms"] = round(rt.worst_latency_s * 1e3, 1)
     if args.pose_graph and builder is not None and builder.n_keyframes() >= 3:
         from rebvio_tpu.ba import loop_closure as lc
         from rebvio_tpu.ba import pose_graph as pgm
@@ -223,8 +234,9 @@ def main(argv=None):
                     np.asarray(p_opt.t), gt[kf_idx], align=True, with_scale=True
                 )
     if gt is not None:
-        out["ate_sim3"] = ev.ate_rmse(res.position, gt, align=True, with_scale=True)
-        out["ate_se3"] = ev.ate_rmse(res.position, gt, align=True, with_scale=False)
+        gt_sel = gt if rt is None else gt[rt.frame_idx]
+        out["ate_sim3"] = ev.ate_rmse(res.position, gt_sel, align=True, with_scale=True)
+        out["ate_se3"] = ev.ate_rmse(res.position, gt_sel, align=True, with_scale=False)
     if args.dataset == "euroc" and seq.gt_pos is not None:
         sel = np.searchsorted(seq.gt_ts_us, res.ts_us)
         sel = np.clip(sel, 0, len(seq.gt_ts_us) - 1)

@@ -127,3 +127,32 @@ def test_vio_long_loopy_sequence():
     assert 9.0 < np.linalg.norm(g) < 10.6, g
     assert g[1] / np.linalg.norm(g) < -0.9, g
     assert np.isfinite(float(r.state.K)) and float(r.state.K) > 1.0
+
+
+def test_realtime_keepup_and_drop_semantics():
+    """run_realtime (the reference's paced player + bounded queues,
+    ros_rebvio.cpp:89-126): at a generously slow playback speed every frame
+    is processed with zero drops; at an impossibly fast speed frames are
+    dropped, accounting stays exact, frame order stays monotonic, and the
+    estimator keeps tracking across the gaps (IMU of dropped frames is
+    consumed by the next processed frame)."""
+    cfg = _small_cfg(use_imu=True)
+    seq = synthetic.generate(cfg.camera, n_frames=10, seed=0)
+    runner = VioRunner(cfg, undistort=False)
+    runner.run(seq)  # warm the jit
+    runner.reset()
+
+    # slow: 20 Hz x 0.05 = 1 frame/s delivery -> zero drops on CPU
+    rt = runner.run_realtime(seq, speed=0.05)
+    assert rt.processed == 10 and rt.dropped == 0
+    assert rt.result.run_ok.all()
+    assert rt.worst_latency_s < 5.0
+
+    # fast: 20 Hz x 1000 -> all frames due immediately; queue of 1 forces
+    # drops, accounting exact, indices strictly increasing
+    runner.reset()
+    rt2 = runner.run_realtime(seq, speed=1000.0, queue_size=1)
+    assert rt2.processed + rt2.dropped == 10
+    assert rt2.dropped > 0
+    assert (np.diff(rt2.frame_idx) > 0).all()
+    assert rt2.processed >= 2  # first + at least one tracked frame

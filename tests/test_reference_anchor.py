@@ -46,13 +46,35 @@ GOLDEN_SEED0 = os.path.join(DATA, "anchor_ref_trajectory_seed0_120.txt")
 
 # (golden file, generate() kwargs, frames tested, cross-ATE bound [m]):
 # bounds are ~2x the measured value (header) to absorb platform jitter.
+# Every anchor runs its golden's FULL length (VERDICT r4 item 8).  Measured
+# full-length cross-ATE at authoring time: seed0 0.025, seed1 0.050,
+# rot18 0.041, long300 0.059, noise 0.059, blur 0.054 m (all with the
+# pipelines' own vs-ground-truth ATE within 0.021 m of each other).
 ANCHORS = [
     ("anchor_ref_trajectory_seed0_120.txt", dict(seed=0), 120, 0.05),
-    ("anchor_ref_trajectory_seed1_120.txt", dict(seed=1), 60, 0.07),
+    ("anchor_ref_trajectory_seed1_120.txt", dict(seed=1), 120, 0.08),
     ("anchor_ref_trajectory_rot18_seed0_120.txt",
-     dict(seed=0, speed=0.3, yaw_amp=0.18), 60, 0.05),
-    ("anchor_ref_trajectory_seed0_300.txt", dict(seed=0), 80, 0.06),
+     dict(seed=0, speed=0.3, yaw_amp=0.18), 120, 0.07),
+    ("anchor_ref_trajectory_seed0_300.txt", dict(seed=0), 300, 0.09),
+    # Adversarial imaging (VERDICT r4 item 4): sensor noise + textured
+    # clutter + illumination swing; and exposure-integrated motion blur +
+    # vignetting (synthetic.DEGRADE_PRESETS).  Both pipelines' ATE vs
+    # ground truth agrees within 0.011 m (reference: 0.270 / 0.306 m over
+    # the full 120 frames); the fast profile holds too (test below).
+    ("anchor_ref_trajectory_noise_seed2_120.txt",
+     dict(seed=2, degrade="noise"), 120, 0.09),
+    ("anchor_ref_trajectory_blur_seed3_120.txt",
+     dict(seed=3, degrade="blur"), 120, 0.08),
 ]
+
+
+def _gen(cfg, n_frames, gen_kw):
+    kw = dict(gen_kw)
+    deg = kw.pop("degrade", None)
+    if deg is not None:
+        kw["degrade"] = synthetic.DEGRADE_PRESETS[deg]
+    return synthetic.generate(cfg.camera, n_frames=n_frames, distort=True,
+                              imu_preroll_s=0.1, **kw)
 
 
 def test_fast_profile_matches_real_reference_trajectory():
@@ -95,8 +117,7 @@ def test_matches_real_reference_trajectory(golden_name, gen_kw, n_frames, bound)
     # Deterministic prefix of the anchor stream: frames are rendered
     # per-index and the IMU grid only grows with n_frames, so an n-frame
     # generation equals the first n frames of the dump.
-    seq = synthetic.generate(cfg.camera, n_frames=n_frames, distort=True,
-                             imu_preroll_s=0.1, **gen_kw)
+    seq = _gen(cfg, n_frames, gen_kw)
     golden = np.loadtxt(os.path.join(DATA, golden_name))
     ref_pos = golden[: n_frames - 1, 4:7]  # reference emits frames 1..N-1
 
@@ -113,3 +134,33 @@ def test_matches_real_reference_trajectory(golden_name, gen_kw, n_frames, bound)
     ate_mine = ev.ate_rmse(mine, gt, with_scale=True)
     ate_ref = ev.ate_rmse(ref_pos, gt, with_scale=True)
     assert ate_mine < ate_ref + 0.05, (golden_name, ate_mine, ate_ref)
+
+
+def test_fast_profile_degraded_content_stability():
+    """Both profiles must hold match-count and accuracy on adversarial
+    imagery (VERDICT r4 item 4: noise/blur/clutter/illumination).  The fast
+    profile is the weaker one (8k keylines, 4 probes) — assert it keeps a
+    healthy match margin over the reference's 500-match abort threshold and
+    stays in the reference's accuracy band."""
+    from rebvio_tpu.configs import fast_profile
+
+    N = 60
+    for name, seed, bound in (("noise", 2, 0.07), ("blur", 3, 0.06)):
+        cfg = fast_profile()
+        seq = _gen(cfg, N, dict(seed=seed, degrade=name))
+        golden = np.loadtxt(os.path.join(
+            DATA, f"anchor_ref_trajectory_{name}_seed{seed}_120.txt"))
+        ref_pos = golden[: N - 1, 4:7]
+        runner = VioRunner(cfg, undistort=True)
+        res = runner.run(seq, chunk=4)
+        assert res.run_ok.all(), name
+        # measured at authoring: min 7286 (noise) / 2910 (blur) matches
+        assert int(res.num_matches[2:].min()) > 1500, (
+            name, int(res.num_matches[2:].min()))
+        mine = res.position[1:N]
+        cross = ev.ate_rmse(mine, ref_pos, with_scale=True)
+        assert cross < bound, (name, cross)
+        gt = seq.gt_pos[1:N]
+        ate_mine = ev.ate_rmse(mine, gt, with_scale=True)
+        ate_ref = ev.ate_rmse(ref_pos, gt, with_scale=True)
+        assert ate_mine < ate_ref + 0.1, (name, ate_mine, ate_ref)

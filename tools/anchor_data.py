@@ -18,11 +18,12 @@ import os
 import numpy as np
 
 from rebvio_tpu.configs import CameraConfig
-from rebvio_tpu.data.synthetic import generate
+from rebvio_tpu.data.synthetic import DEGRADE_PRESETS, generate
 
 
 def dump(out_dir: str, n_frames: int = 120, seed: int = 0,
-         speed: float = 0.35, yaw_amp: float = 0.06) -> None:
+         speed: float = 0.35, yaw_amp: float = 0.06,
+         degrade: str = "none") -> None:
     cam = CameraConfig()
     seq = generate(
         cam,
@@ -32,6 +33,7 @@ def dump(out_dir: str, n_frames: int = 120, seed: int = 0,
         imu_preroll_s=0.1,
         speed=speed,
         yaw_amp=yaw_amp,
+        degrade=DEGRADE_PRESETS[degrade],
     )
     os.makedirs(out_dir, exist_ok=True)
     imgs = np.clip(np.round(seq.images), 0, 255).astype(np.uint8)
@@ -63,5 +65,8 @@ if __name__ == "__main__":
     ap.add_argument("--yaw-amp", type=float, default=0.06,
                     help="yaw oscillation amplitude [rad] (0.06 = the "
                          "original anchor; ~0.5 = rotation-heavy)")
+    ap.add_argument("--degrade", default="none", choices=sorted(DEGRADE_PRESETS),
+                    help="adversarial imaging preset (synthetic.Degradations)")
     args = ap.parse_args()
-    dump(args.out_dir, args.frames, args.seed, args.speed, args.yaw_amp)
+    dump(args.out_dir, args.frames, args.seed, args.speed, args.yaw_amp,
+         args.degrade)

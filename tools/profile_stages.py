@@ -104,8 +104,8 @@ def main():
         return s
 
     STAGES = [
-        "detect", "nn_field", "imu+rotate", "minimize_vel", "forward_match",
-        "ext_rot_vel", "directed_match", "regularize", "depth_ekf",
+        "detect", "att_field", "imu+rotate", "minimize_vel", "forward_match",
+        "ext_rot_vel", "directed_match", "reg+ekf(fused)", "(product path)",
     ]
 
     @partial(jax.jit, static_argnames=("upto",))
@@ -165,12 +165,14 @@ def main():
         aux = aux + msum(new_map) + klm.astype(jnp.float32)
         if upto == 6:
             return aux
-        new_map = matching.regularize_1iter(new_map, config.edge_map.regularization_threshold)
+        # the PRODUCT path: regularize + depth EKF as one fused stage
+        # (tracker.regularize_and_update_depth / pallas reg_ekf kernel)
+        new_map = tracker.regularize_and_update_depth(
+            new_map, V, config.edge_map.regularization_threshold, core_cfg, cam)
         aux = aux + msum(new_map)
         if upto == 7:
             return aux
-        new_map = tracker.update_inverse_depth(new_map, V, core_cfg, cam)
-        return aux + msum(new_map)
+        return aux  # stage 8 == stage 7 (fused); delta prints ~0
 
     N = args.iters
 
