@@ -148,7 +148,14 @@ class Undistorter:
         D = jnp.stack(
             [flat, jnp.roll(flat, -1), jnp.roll(flat, -Q), jnp.roll(flat, -Q - 1)], 1
         )
-        q = D[self._bl]                                            # [N,4] row gather
+        # [N,4] row gather, CHUNKED: XLA's TPU row gather costs ~4x more
+        # per index above ~16k indices per op (measured r4,
+        # tools/stage_bench thresh), so the 361k-pixel gather runs as ~24
+        # sub-16k gathers + one concat
+        CH = 15040
+        N = H * W
+        q = jnp.concatenate(
+            [D[self._bl[i:i + CH]] for i in range(0, N, CH)])
         hi = jnp.floor(q * (1.0 / 256.0))
         lo = q - hi * 256.0
         top = jnp.stack([hi[:, 0], lo[:, 0], hi[:, 1], lo[:, 1]], 1)   # [N,4] pixels

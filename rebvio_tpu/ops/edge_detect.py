@@ -100,27 +100,46 @@ def detect(
     )
 
     # --- raster-order compaction with keylines_max cutoff ---
-    # slot s takes the (s+1)-th candidate in raster order: sort the negated
-    # flat indices of candidates (exact in f32: H*W < 2^24) and take the kmax
-    # largest, descending = the first kmax candidates in raster order.  The
-    # index IS the key, so it is recovered by negation instead of sorting a
-    # values/index pair.  Measured on v5e: full lax.sort of [360k] = 0.21 ms
-    # vs lax.top_k's 0.43 ms (and ~5x cheaper than cumsum+searchsorted's ~19
-    # serial scalar gathers, ~7x cheaper than jnp.nonzero's scatter; a
-    # flat-cumsum rank + .set-scatter formulation re-measured round 3 at
-    # ~1 ms — the [360k] cumsum is the slow part — and was reverted).
+    # slot s takes the (s+1)-th candidate in raster order, via a SEGMENTED
+    # sort: the image splits into S raster-contiguous segments, each sorts
+    # independently (one batched lax.sort call — TPU sort cost scales with
+    # sort LENGTH, so [96,3760] runs at 58 us vs 353 us for the flat
+    # [360960] sort, traced r4), per-segment candidate counts place each
+    # output slot at (segment, local rank) with a cheap one-hot searchsorted
+    # (no serial scalar gathers), and the value comes back through an
+    # 8-lane row gather + lane select (XLA's 1-D gather lowers to a
+    # ~6.6 ns/idx scalar loop regardless of index count; the row path runs
+    # at ~1.4 ns/row).  Exactness: segments are raster-contiguous, so
+    # per-segment ascending index order concatenated in segment order IS
+    # global raster order, including the keylines_max cutoff.
     cand_flat = cand.reshape(-1)
+    NSEG = next(n for n in (96, 64, 48, 32, 24, 16, 12, 8, 6, 4, 2, 1)
+                if (H * W) % n == 0)
+    SEG = H * W // NSEG
+    assert (H * W) % 8 == 0  # for the 8-lane row view of the sorted array
     total = jnp.sum(cand_flat.astype(jnp.float32))
     count = jnp.minimum(total, kmax).astype(jnp.int32)
-    neg_big = jnp.float32(-3.4e38)
-    keys = jnp.where(cand_flat, -jnp.arange(H * W, dtype=jnp.float32), neg_big)
-    top = jax.lax.sort(keys, is_stable=False)[H * W - kmax:][::-1]
-    slots = jnp.arange(1, kmax + 1, dtype=jnp.float32)
-    valid = slots <= total
-    safe_idx = jnp.where(valid, -top, 0.0).astype(jnp.int32)
+    big_i = jnp.int32(2 ** 30)
+    keys = jnp.where(cand_flat, jnp.arange(H * W, dtype=jnp.int32), big_i)
+    sseg = jax.lax.sort(keys.reshape(NSEG, SEG), dimension=1, is_stable=False)
+    counts = jnp.sum(cand.reshape(NSEG, SEG), axis=1).astype(jnp.int32)
+    ends = jnp.cumsum(counts)                     # [NSEG]
+    starts = ends - counts
+    slots_i = jnp.arange(kmax, dtype=jnp.int32)
+    seg_of = jnp.sum((slots_i[:, None] >= ends[None, :]).astype(jnp.int32), 1)
+    seg_oh = (jnp.arange(NSEG, dtype=jnp.int32)[None, :] == seg_of[:, None])
+    start_of = jnp.sum(jnp.where(seg_oh, starts[None, :], 0), axis=1)
+    flat_pos = seg_of * SEG + (slots_i - start_of)
+    rows8 = sseg.reshape(H * W // 8, 8)[jnp.clip(flat_pos, 0, H * W - 1) // 8]
+    lane_oh = (jnp.arange(8, dtype=jnp.int32)[None, :] == (flat_pos % 8)[:, None])
+    slot_val = jnp.sum(jnp.where(lane_oh, rows8, 0), axis=1)
+    valid = slots_i.astype(jnp.float32) < total
+    safe_idx = jnp.where(valid, slot_val, 0)
     prow = (safe_idx // W).astype(jnp.float32)
     pcol = (safe_idx % W).astype(jnp.float32)
-    # one packed row-gather for the 4 per-pixel fields
+    # one packed row-gather for the 4 per-pixel fields (a 2-pixels-per-8-
+    # lane-row variant re-traced r4 at a 509 us layout copy+reshape — the
+    # column-major 4-lane gather at ~5 ns/row is the cheaper total here)
     planes = jnp.stack([xs, ys, t0, t1], axis=-1).reshape(H * W, 4)
     rowk = planes[safe_idx]
     xs_k, ys_k, g0_k, g1_k = rowk[:, 0], rowk[:, 1], rowk[:, 2], rowk[:, 3]
@@ -179,7 +198,7 @@ def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # pad reproduces "no keyline" outside the frame (detections are
     # >= pfs >= 1 pixels interior, so probes stay within the padded image).
     kl_f = kl_id_img.astype(jnp.float32)
-    pad = jnp.pad(kl_f, 1, constant_values=-1.0).reshape(-1)
+    pad = jnp.pad(kl_f, 1, constant_values=-1.0)
     Wp = W + 2
 
     # Neighbor offsets per quadrant of the tangent direction.
@@ -189,12 +208,27 @@ def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:
     sx_neg = jnp.where(tx < 0, -1, 1)
     px = jnp.where(ty > 0, sx, sx_neg)
     py = jnp.where(ty > 0, 1, -1)
+    # Per-probe 1-D lookups through the 8-lane ROW path: XLA's 1-D gather
+    # lowers to a ~6.6 ns/idx scalar loop REGARDLESS of index count (traced
+    # r4: 106 us per [K] probe), while an 8-lane T(8,128) row gather runs at
+    # ~1.4 ns/row — so the padded image is viewed as [*,8] rows and each
+    # probe is one row gather + a one-hot lane select.
+    npad8 = -(-(Hp := H + 2) * Wp // 8) * 8
+    rows8 = jnp.concatenate(
+        [pad.reshape(-1), jnp.full((npad8 - Hp * Wp,), -1.0, jnp.float32)]
+    ).reshape(-1, 8)
     base = (y + 1) * Wp + (x + 1)
-    # one [3K] gather instead of three [K] gathers — the three probes are
-    # each launch-latency-bound, not volume-bound
-    idx3 = jnp.stack([base + px, base + py * Wp, base + py * Wp + px], 1).reshape(-1)
-    c = pad[idx3].reshape(kmax, 3)
-    c1, c2, c3 = c[:, 0], c[:, 1], c[:, 2]
+    lanes8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+
+    def probe(off):
+        f = base + off
+        r = rows8[f // 8]
+        oh = (lanes8 == (f % 8)[:, None]).astype(jnp.float32)
+        return jnp.sum(r * oh, axis=1)
+
+    c1 = probe(px)
+    c2 = probe(py * Wp)
+    c3 = probe(py * Wp + px)
     id_next_f = jnp.where(c1 >= 0, c1, jnp.where(c2 >= 0, c2, c3))
     id_next = jnp.where(valid, id_next_f.astype(jnp.int32), -1)
 

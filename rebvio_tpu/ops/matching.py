@@ -91,28 +91,36 @@ def forward_match(old: T.EdgeMap, new: T.EdgeMap) -> Tuple[T.EdgeMap, jnp.ndarra
     kmax = new.kmax
     cand = old.valid & (old.match_id_forward >= 0)
     tgt = jnp.where(cand, old.match_id_forward, kmax)
-    neg = jnp.float32(-_F32_MAX)
-    max_rho = jnp.full((kmax,), neg, jnp.float32).at[tgt].max(
-        jnp.where(cand, old.rho, neg), mode="drop"
+    # Winner per target = lexicographic max of (rho, idx) among its
+    # candidates.  A stable ascending argsort of rho orders exactly by
+    # (rho, idx), so each keyline's RANK is its lexicographic priority and
+    # ONE int32 scatter-max of rank+1 resolves every target — replacing the
+    # r3 formulation's scatter-max(rho) -> gather-back -> scatter-max(idx)
+    # chain, whose gather-back lowered to the ~8 ns/idx 1-D scalar path
+    # (traced r4: 132 + 137 + 113 us -> 2 sorts + one scatter + row
+    # gathers).  The winner's fields come from the rank-PERMUTED pack, so
+    # both payload lookups are fast T(8,128) row gathers.
+    order = jnp.argsort(rho_key := jnp.where(cand, old.rho, -_F32_MAX))
+    rank_of = jnp.argsort(order)
+    win_key = (
+        jnp.zeros((kmax,), jnp.int32)
+        .at[tgt]
+        .max(jnp.where(cand, rank_of + 1, 0), mode="drop")
     )
-    is_best = cand & (old.rho >= max_rho[jnp.clip(tgt, 0, kmax - 1)]) & (tgt < kmax)
-    win = (
-        jnp.full((kmax,), -1, jnp.int32)
-        .at[jnp.where(is_best, tgt, kmax)]
-        .max(jnp.arange(kmax, dtype=jnp.int32), mode="drop")
-    )
-    matched = win >= 0
-    w = jnp.clip(win, 0, kmax - 1)
-    # One packed slice-gather for the winners' fields.  The int fields ride
-    # along as exact float32 (TPU int32 gathers lower to a 64-bit slow path
-    # ~20x costlier than float gathers; counters and ids are < 2^24).
+    matched = win_key > 0
+    # Packed winner fields, permuted into rank order; the winner's keyline
+    # INDEX rides along as exact f32 (< 2^24) so no 1-D gather of `order`
+    # is needed.  (int fields as exact f32: TPU int32 gathers lower to a
+    # 64-bit slow path ~20x costlier than float gathers.)
     pack = jnp.concatenate(
         [old.rho[:, None], old.sigma_rho[:, None], old.pos_img, old.grad,
          old.grad_norm[:, None], old.matches.astype(jnp.float32)[:, None],
          old.match_id_keyframe.astype(jnp.float32)[:, None],
-         jnp.zeros((kmax, 1), jnp.float32)], axis=-1,
+         jnp.arange(kmax, dtype=jnp.float32)[:, None]], axis=-1,
     )
-    row = pack[w]
+    pack_sorted = pack[order]
+    row = pack_sorted[jnp.clip(win_key - 1, 0, kmax - 1)]
+    win = jnp.where(matched, row[:, 9].astype(jnp.int32), -1)
     new = new.replace(
         rho=jnp.where(matched, row[:, 0], new.rho),
         sigma_rho=jnp.where(matched, row[:, 1], new.sigma_rho),
@@ -462,12 +470,19 @@ def _directed_match_tube_impl(
 
         Kr = kmax // 128
         P = n_probes
-        rowp_t = old.att_img[pidx.T]                       # [P,K,8]
+        pidx_T = pidx.T
+        # PER-PROBE gathers: XLA's TPU row gather falls off a cost cliff
+        # above ~16k indices per op (measured r4, tools/stage_bench thresh:
+        # 2.0 ns/idx at <=16k vs 8.6 ns/idx at 128k — 4.3x on the whole
+        # [P,K] probe volume), so the [P*K]-index gather is split into P
+        # [K]-index gathers; jnp.stack rebuilds the [P,K,*] layout with one
+        # cheap concat.
+        rowp_t = jnp.stack([old.att_img[pidx_T[p]] for p in range(P)])
         inb_tb = inb.T                                     # [P,K]
         idf_t = rowp_t[..., ATT_ID]
         os_t = jnp.clip(
             jnp.where(inb_tb, idf_t.astype(jnp.int32), -1), 0, kmax - 1)
-        drow_t = dyn[os_t]                                 # [P,K,4]
+        drow_t = jnp.stack([dyn[os_t[p]] for p in range(P)])  # [P,K,4]
         att_pk = jnp.moveaxis(rowp_t, -1, 0)               # [8,P,K]
         gxr = att_pk[ATT_GX] * M2[0, 0] + att_pk[ATT_GX + 1] * M2[0, 1]
         gyr = att_pk[ATT_GX] * M2[1, 0] + att_pk[ATT_GX + 1] * M2[1, 1]
@@ -492,11 +507,14 @@ def _directed_match_tube_impl(
         w_seed = jnp.stack([o[7], o[8]], axis=-1)
         wcnt = jnp.stack([o[9], o[10]], axis=-1)
     else:
-        rowp = old.att_img[pidx]                  # [K,P,8]
+        # per-probe gathers: see the Pallas branch (same >16k-index cliff)
+        rowp = jnp.stack([old.att_img[pidx[:, p]] for p in range(n_probes)],
+                         axis=1)                  # [K,P,8]
         oid = jnp.where(inb, rowp[..., ATT_ID].astype(jnp.int32), -1)
         has = oid >= 0
         os = jnp.clip(oid, 0, kmax - 1)
-        drow = dyn[os]                             # [K,P,4] level-2 gather
+        drow = jnp.stack([dyn[os[:, p]] for p in range(n_probes)],
+                         axis=1)                   # [K,P,4] level-2 gather
         seed = rowp[..., ATT_POSX:ATT_POSX + 2]   # (x, y) detection pixel coords
         dxs = seed[..., 0] - pi0x[:, None]
         dys = seed[..., 1] - pi0y[:, None]
