@@ -184,11 +184,12 @@ def main():
     from rebvio_tpu.configs import PipelineConfig, fast_profile
 
     only = os.environ.get("BENCH_PROFILE", "")
-    n_frames = int(os.environ.get("BENCH_CHUNK", "32"))
+    n_frames = int(os.environ.get("BENCH_CHUNK", "64"))
     ref_fps = _reference_fps()
 
-    # 32-frame scan chunks: the offline throughput mode (runner --chunk 32),
-    # amortizing the remote backend's per-dispatch floor.
+    # 64-frame scan chunks by default: the offline throughput mode (runner
+    # --chunk 64), amortizing the remote backend's per-dispatch floor
+    # (measured parity fps at 32/64/128 chunks: 274/294/303).
     profiles = {}
     if only in ("", "fast"):
         profiles["fast"] = {"config": fast_profile()}
