@@ -67,6 +67,7 @@ def _chunk_inputs(config, n_frames, seq=None):
     cam = config.camera
     if seq is None:
         seq = synthetic.generate(cam, n_frames=n_frames, seed=0)
+    assert len(seq.images) >= n_frames
     frames = [jnp.asarray(seq.images[i] * config.image_gain)
               for i in range(n_frames)]
     windows = []
@@ -184,20 +185,26 @@ def main():
     from rebvio_tpu.configs import PipelineConfig, fast_profile
 
     only = os.environ.get("BENCH_PROFILE", "")
-    n_frames = int(os.environ.get("BENCH_CHUNK", "64"))
+    n_frames = int(os.environ.get("BENCH_CHUNK", "128"))
     ref_fps = _reference_fps()
 
-    # 64-frame scan chunks by default: the offline throughput mode (runner
-    # --chunk 64), amortizing the remote backend's per-dispatch floor
-    # (measured parity fps at 32/64/128 chunks: 274/294/303).
+    # 128-frame scan chunks by default: the offline throughput mode (runner
+    # --chunk 128), amortizing the remote backend's per-dispatch floor
+    # (measured parity fps at 32/64/128 chunks: 274/294/303).  One synthetic
+    # sequence is rendered and shared by both profiles (same camera/gain).
     profiles = {}
     if only in ("", "fast"):
         profiles["fast"] = {"config": fast_profile()}
     if only in ("", "parity"):
         profiles["parity"] = {"config": PipelineConfig()}
 
+    from rebvio_tpu.data import synthetic
+
+    seq = synthetic.generate(
+        next(iter(profiles.values()))["config"].camera, n_frames=n_frames,
+        seed=0)
     for name, p in profiles.items():
-        fps = bench_chunked(p["config"], n_frames)
+        fps = bench_chunked(p["config"], n_frames, seq)
         p["fps"] = round(fps, 2)
         p["vs_baseline"] = round(fps / ref_fps, 2)
 
