@@ -137,6 +137,15 @@ def bench_streaming(config, rtt_hint=0.0):
         seq_d, images=np.clip(np.round(seq_d.images), 0, 255).astype(np.uint8))
     runner = VioRunner(config, undistort=True)
     runner.run(seq_d)  # compile + warm
+    if rtt_hint == 0.0:
+        # measure the device->host readback round-trip once and subtract it
+        # from every timed section (ADVICE r4: main() never passed rtt_hint,
+        # so streaming numbers carried one extra RTT vs earlier artifacts).
+        # First readback fences any in-flight work; the second is pure RTT.
+        _readback(runner.state.Pos)
+        t0 = time.perf_counter()
+        _readback(runner.state.Pos)
+        rtt_hint = time.perf_counter() - t0
     best_s = float("inf")
     for _ in range(3):
         runner.reset()

@@ -19,7 +19,21 @@ _LIB_PATHS = [
 ]
 
 
+def _try_build() -> None:
+    """Best-effort on-demand build (the .so is not committed; see native/Makefile)."""
+    import subprocess
+    native_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+    if os.path.exists(os.path.join(native_dir, "Makefile")):
+        try:
+            subprocess.run(["make", "-C", native_dir], check=False,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
+
+
 def _load_lib() -> Optional[ctypes.CDLL]:
+    if not any(os.path.exists(os.path.abspath(p)) for p in _LIB_PATHS):
+        _try_build()
     for p in _LIB_PATHS:
         p = os.path.abspath(p)
         if os.path.exists(p):

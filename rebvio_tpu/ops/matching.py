@@ -324,7 +324,13 @@ def directed_match_tube(
     """Resolve the XLA-vs-Pallas path OUTSIDE the jit cache (use_pallas=None
     re-reads REBVIO_PALLAS_TUBE on every call; a jit-cached trace would bake
     the first call's env value in forever), then dispatch to the per-path
-    compiled implementation.  See _directed_match_tube_impl for semantics."""
+    compiled implementation.  See _directed_match_tube_impl for semantics.
+
+    Limitation (ADVICE r4): this env re-read only helps EAGER callers.  When
+    this function is traced inside a larger jit (pipeline.step), the flag is
+    resolved once at trace time and baked into that outer jit cache; to switch
+    paths there, set the env var before the pipeline's first call (or pass
+    use_pallas explicitly from outside the jit boundary)."""
     if use_pallas is None:
         use_pallas = _use_pallas_tube(new.kmax, n_probes or cfg.tube_probes)
     return _directed_match_tube_impl(

@@ -51,7 +51,14 @@ def main(argv=None):
                     help="build a keyframe pose graph from the run "
                          "(sequential odometry factors + tracker-registered "
                          "loop closures) and optimize it")
-    ap.add_argument("--kf-every", type=int, default=5)
+    ap.add_argument("--kf-every", type=int, default=5,
+                    help="keyframe stride for --ba/--pose-graph; note "
+                         "keyframes fire at frames {kf-1, 2*kf-1, ...} "
+                         "(phase = kf_every-1, chunk-aligned so the device "
+                         "edge map can be snapshotted without per-frame "
+                         "readbacks) — earlier revisions used phase 0 "
+                         "({0, kf, 2*kf, ...}), so keyframe indices differ "
+                         "from pre-r4 outputs")
     ap.add_argument("--platform", choices=["default", "cpu"], default="default",
                     help="force the JAX backend (cpu for quick local runs)")
     ap.add_argument("--matcher", choices=["tube", "walk"], default="tube",

@@ -240,6 +240,12 @@ class VioRunner:
         kf_phase == chunk-1 (run.py sets this up).
         """
         chunk = chunk or builder.kf_every
+        if chunk % builder.kf_every != 0 or builder.kf_phase != (chunk - 1) % builder.kf_every:
+            raise ValueError(
+                f"run_mapped requires chunk-aligned keyframes: chunk ({chunk}) must be a "
+                f"multiple of kf_every ({builder.kf_every}) and kf_phase "
+                f"({builder.kf_phase}) must equal (chunk-1) % kf_every; otherwise keyframes "
+                f"land mid-chunk where no edge-map snapshot exists (ADVICE r4)")
         n = len(seq.images)
         ts, ori, pos, nm, ok = [], [], [], [], []
         for lo in range(0, n - n % chunk, chunk):
