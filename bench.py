@@ -11,12 +11,19 @@ run):
   parity  — the reference's own operating point (16k keylines max / 12k
             target, edge_detector.hpp:20-21, 8-probe matcher)
 
-plus the streaming mode (one dispatch per frame, the reference's live
-regime) and a --realtime keep-up run at 1x EuRoC rate.
+plus, per profile: the latency-2 micro-chunk mode (low_latency_fps), the
+streaming mode (one dispatch per frame, the reference's live regime;
+median over 5 runs with [min,max] spread — the tunneled backend's dispatch
+floor swings run-to-run), and a --realtime keep-up SPEED SWEEP (the
+reference's node plays at 1.5x, ros_rebvio_node.cpp:30-36; the envelope
+records the max zero-drop speed and worst latency vs the 50 ms frame
+budget).  One "mapped" section times run_mapped (keyframe mapping path)
+against the plain chunked run.
 
 Headline value/vs_baseline = the fast profile; parity rides in "profiles".
 BENCH_PROFILE=fast|parity restricts to one profile; BENCH_STREAMING=0,
-BENCH_REALTIME=0, BENCH_ROOFLINE=0 skip sections.
+BENCH_REALTIME=0, BENCH_ROOFLINE=0, BENCH_MAPPED=0, BENCH_LOWLAT=0 skip
+sections.
 
 Synchronization note: on the remote-device backend used here,
 ``block_until_ready`` returns before execution completes; a device->host
@@ -114,27 +121,42 @@ def bench_chunked(config, n_frames, seq=None) -> float:
     return n_iter * n_frames / best
 
 
-def bench_streaming(config, rtt_hint=0.0):
-    """Streaming mode: one dispatch per frame, per-frame device
-    undistortion — the like-for-like comparison against the reference's
-    live 2-thread pipeline (rebvio.cpp:28-29; its 31.71 fps IS a streaming
-    number).  Returns (streaming_fps, streaming_fps_resident, realtime)."""
+def _streaming_seq(cam, n_s, seed=0):
     import dataclasses as _dc
 
-    import jax
-    import jax.numpy as jnp
-
     from rebvio_tpu.data import synthetic
-    from rebvio_tpu.runner import VioRunner
 
-    cam = config.camera
-    n_s = 16
-    seq_d = synthetic.generate(cam, n_frames=n_s, seed=0, distort=True,
+    seq_d = synthetic.generate(cam, n_frames=n_s, seed=seed, distort=True,
                                imu_preroll_s=0.1)
     # camera frames are uint8 (EuRoC, and the reference consumes MONO8);
     # ship them as such — the device casts+gains after upload
-    seq_d = _dc.replace(
+    return _dc.replace(
         seq_d, images=np.clip(np.round(seq_d.images), 0, 255).astype(np.uint8))
+
+
+def _median_spread(samples):
+    s = sorted(samples)
+    return (round(float(np.median(s)), 1),
+            [round(s[0], 1), round(s[-1], 1)])
+
+
+def bench_streaming(config, rtt_hint=0.0, runs=5):
+    """Streaming mode: one dispatch per frame, per-frame device
+    undistortion — the like-for-like comparison against the reference's
+    live 2-thread pipeline (rebvio.cpp:28-29; its 31.71 fps IS a streaming
+    number).
+
+    VERDICT r4 item 2b: the tunneled backend's per-dispatch floor swings
+    run-to-run (recorded 108-176 fps across rounds), so one best-of number
+    cannot support trend claims — report the MEDIAN over ``runs`` full
+    passes with the observed [min, max] spread.  Returns a dict of
+    streaming/resident medians + spreads."""
+    import jax
+
+    from rebvio_tpu.runner import VioRunner
+
+    n_s = 16
+    seq_d = _streaming_seq(config.camera, n_s)
     runner = VioRunner(config, undistort=True)
     runner.run(seq_d)  # compile + warm
     if rtt_hint == 0.0:
@@ -146,13 +168,12 @@ def bench_streaming(config, rtt_hint=0.0):
         t0 = time.perf_counter()
         _readback(runner.state.Pos)
         rtt_hint = time.perf_counter() - t0
-    best_s = float("inf")
-    for _ in range(3):
+    fps_s = []
+    for _ in range(runs):
         runner.reset()
         t0 = time.perf_counter()
         runner.run(seq_d)
-        best_s = min(best_s, max(time.perf_counter() - t0 - rtt_hint, 1e-9))
-    streaming_fps = round(n_s / best_s, 1)
+        fps_s.append(n_s / max(time.perf_counter() - t0 - rtt_hint, 1e-9))
 
     # Backend-neutral streaming rate: per-frame dispatch + on-device
     # undistortion, but frames already device-resident — isolates the
@@ -163,8 +184,8 @@ def bench_streaming(config, rtt_hint=0.0):
     _readback(dev_frames[-1])
     runner.reset()
     runner.run(seq_d)  # rewarm state path
-    best_r = float("inf")
-    for _ in range(3):
+    fps_r = []
+    for _ in range(runs):
         runner.reset()
         t0 = time.perf_counter()
         for i in range(n_s):
@@ -172,22 +193,89 @@ def bench_streaming(config, rtt_hint=0.0):
                 dev_frames[i], int(seq_d.ts_us[i]), seq_d.imu_ts_us,
                 seq_d.imu_gyro, seq_d.imu_acc)
         _readback(odo.position)
-        best_r = min(best_r, max(time.perf_counter() - t0 - rtt_hint, 1e-9))
-    streaming_resident = round(n_s / best_r, 1)
+        fps_r.append(n_s / max(time.perf_counter() - t0 - rtt_hint, 1e-9))
 
-    realtime = {}
-    if os.environ.get("BENCH_REALTIME", "1") != "0":
-        # keep-up semantics at 1x EuRoC rate (20 Hz), host frames + uploads:
-        # the artifact VERDICT r4 item 5 asks for (zero drops = real-time)
+    s_med, s_spread = _median_spread(fps_s)
+    r_med, r_spread = _median_spread(fps_r)
+    return {
+        "streaming_fps": s_med, "streaming_spread": s_spread,
+        "streaming_fps_resident": r_med, "resident_spread": r_spread,
+        "runs": runs,
+    }
+
+
+def bench_realtime(config, n_frames=120, speeds=(1.0, 1.5, 2.0, 3.0)):
+    """Keep-up envelope: pace frames at sensor rate x speed with bounded
+    queues (runner.run_realtime = the reference's paced rosbag player +
+    subscriber queues, ros_rebvio.cpp:89-126) and sweep the speed until
+    frames drop.  The reference's own node plays back at 1.5x
+    (ros_rebvio_node.cpp:30-36), so the zero-drop envelope must reach at
+    least 1.5x for parity; worst latency is reported against the 20 Hz
+    sensor's 50 ms frame budget (VERDICT r4 item 2c)."""
+    from rebvio_tpu.runner import VioRunner
+
+    seq_d = _streaming_seq(config.camera, n_frames)
+    runner = VioRunner(config, undistort=True)
+    runner.run(_streaming_seq(config.camera, 4))  # compile + warm
+    envelope = []
+    max_ok = 0.0
+    for sp in speeds:
         runner.reset()
-        rt = runner.run_realtime(seq_d, speed=1.0, queue_size=2)
-        realtime = {
-            "speed": 1.0,
+        rt = runner.run_realtime(seq_d, speed=sp, queue_size=2)
+        envelope.append({
+            "speed": sp,
             "processed": rt.processed,
             "dropped": rt.dropped,
             "worst_latency_ms": round(rt.worst_latency_s * 1e3, 1),
-        }
-    return streaming_fps, streaming_resident, realtime
+        })
+        if rt.dropped == 0:
+            max_ok = sp
+        else:
+            break
+    return {
+        "frames": n_frames,
+        "frame_budget_ms": 50.0,
+        "envelope": envelope,
+        "max_zero_drop_speed": max_ok,
+    }
+
+
+def bench_mapped(config, chunk=8, n_frames=64):
+    """Mapping-path cost: run_mapped (keyframe snapshots + per-frame builder
+    feed via step_chunk_traced) timed next to the plain chunked run at the
+    same chunk size (VERDICT r4 missing #3: 'within 1.3x of plain' was an
+    untested claim).  Both paths end fully fenced (host arrays), so the
+    ratio is like-for-like."""
+    from rebvio_tpu.ba.keyframe_map import KeyframeMapBuilder
+    from rebvio_tpu.data import synthetic
+    from rebvio_tpu.runner import VioRunner
+
+    seq = synthetic.generate(config.camera, n_frames=n_frames, seed=0)
+    runner = VioRunner(config, undistort=False)
+
+    def _plain():
+        runner.reset()
+        t0 = time.perf_counter()
+        runner.run(seq, chunk=chunk)
+        return n_frames / (time.perf_counter() - t0)
+
+    def _mapped():
+        runner.reset()
+        builder = KeyframeMapBuilder(config, kf_every=chunk,
+                                     kf_phase=chunk - 1, store_maps=True)
+        t0 = time.perf_counter()
+        runner.run_mapped(seq, builder, chunk=chunk)
+        return n_frames / (time.perf_counter() - t0)
+
+    _plain(), _mapped()  # compile + warm both paths
+    plain_fps = max(_plain() for _ in range(3))
+    mapped_fps = max(_mapped() for _ in range(3))
+    return {
+        "chunk": chunk,
+        "plain_fps": round(plain_fps, 1),
+        "mapped_fps": round(mapped_fps, 1),
+        "mapped_over_plain": round(plain_fps / max(mapped_fps, 1e-9), 3),
+    }
 
 
 def main():
@@ -216,14 +304,39 @@ def main():
         fps = bench_chunked(p["config"], n_frames, seq)
         p["fps"] = round(fps, 2)
         p["vs_baseline"] = round(fps / ref_fps, 2)
+        if os.environ.get("BENCH_LOWLAT", "1") != "0":
+            # latency-2 micro-chunk mode (--chunk 2): the low-latency
+            # operating point this backend allows — amortizes the
+            # per-dispatch floor over 2 frames at ONE frame of added
+            # latency (VERDICT r4 item 2a)
+            p["low_latency_fps"] = round(bench_chunked(p["config"], 2, seq), 1)
 
     streaming = {}
     if os.environ.get("BENCH_STREAMING", "1") != "0":
-        s_fps, s_res, rt = bench_streaming(
-            profiles.get("fast", profiles[list(profiles)[0]])["config"])
-        streaming = {"streaming_fps": s_fps, "streaming_fps_resident": s_res}
-        if rt:
-            streaming["realtime_1x"] = rt
+        # per-profile live numbers (VERDICT r4 item 7: the parity profile's
+        # streaming behavior was never recorded)
+        streaming["streaming"] = {
+            name: bench_streaming(p["config"]) for name, p in profiles.items()
+        }
+        fast_s = streaming["streaming"].get(
+            "fast", streaming["streaming"][list(streaming["streaming"])[0]])
+        # legacy top-level keys (round-over-round continuity)
+        streaming["streaming_fps"] = fast_s["streaming_fps"]
+        streaming["streaming_fps_resident"] = fast_s["streaming_fps_resident"]
+    if os.environ.get("BENCH_REALTIME", "1") != "0":
+        streaming["realtime"] = {
+            name: bench_realtime(p["config"])
+            for name, p in profiles.items()
+        }
+        rt_f = streaming["realtime"].get(
+            "fast", streaming["realtime"][list(streaming["realtime"])[0]])
+        streaming["realtime_1x"] = rt_f["envelope"][0]  # legacy key
+    if os.environ.get("BENCH_MAPPED", "1") != "0":
+        head_cfg = profiles.get("fast", profiles[list(profiles)[0]])["config"]
+        try:
+            streaming["mapped"] = bench_mapped(head_cfg)
+        except Exception as e:  # never fail the bench on the aux metric
+            streaming["mapped"] = {"error": str(e)[:120]}
 
     roofline = {}
     if os.environ.get("BENCH_ROOFLINE", "1") != "0":

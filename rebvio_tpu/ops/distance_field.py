@@ -229,7 +229,8 @@ def build_nn_field(
 
 @partial(jax.jit, static_argnames=("search_range", "rows", "cols", "scale"))
 def build_att_field(
-    em: T.EdgeMap, search_range: int, rows: int, cols: int, scale: int = 1
+    em: T.EdgeMap, search_range: int, rows: int, cols: int, scale: int = 1,
+    seed_stack: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Dense nearest-keyline ATTRIBUTE field: [N, 8] rows of
     (packed, d2, id, grad_x, grad_y, grad_norm, pos_x, pos_y).
@@ -245,8 +246,16 @@ def build_att_field(
     ``search_range``.
     """
     if _use_pallas_jfa():
-        from rebvio_tpu.ops.pallas_kernels import att_field_pallas
+        from rebvio_tpu.ops.pallas_kernels import _att_flood, att_field_pallas
 
+        if seed_stack is not None:
+            # pre-seeded region stack from the detector's dense planes
+            # (seed_stack_dense) — skips the scatter/init/transpose pipeline
+            sr = (search_range if scale == 1
+                  else max(1, round(search_range / scale)))
+            frows = (rows + scale - 1) // scale
+            fcols = (cols + scale - 1) // scale
+            return _att_flood(seed_stack, sr, frows, fcols, scale)
         return att_field_pallas(em, search_range, rows, cols, scale)
     sr = search_range if scale == 1 else max(1, round(search_range / scale))
     payload = [
@@ -266,3 +275,128 @@ def _next_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+@partial(jax.jit, static_argnames=("search_range", "rows", "cols", "scale"))
+def seed_stack_dense(
+    kl_id_img: jnp.ndarray,   # [H,W] int32 compacted keyline id (-1 = none)
+    sub_x: jnp.ndarray,       # [H,W] f32 subpixel x offset (detector xs)
+    sub_y: jnp.ndarray,       # [H,W] f32 subpixel y offset (detector ys)
+    gx: jnp.ndarray,          # [H,W] f32 DoG gradient x (detector t0)
+    gy: jnp.ndarray,          # [H,W] f32 DoG gradient y (detector t1)
+    threshold: jnp.ndarray,   # [] f32 map threshold (tuneThreshold output)
+    search_range: int, rows: int, cols: int, scale: int,
+) -> jnp.ndarray:
+    """Build the flood kernel's seeded region stack [5*Rp, fcols] DENSELY
+    from the detector's per-pixel planes — no scatter.
+
+    The scatter formulation (att_field_pallas) pays for an [n,8]-shaped
+    table whose minor dim of 8 is lane-padded to 128 by the TPU layout, so
+    its init + scatter + transpose process ~16x the live bytes (traced r4:
+    242 + 71 + 62 us of a 2935 us parity step).  Every seed, however, is
+    already sitting in a DENSE detector plane: a pixel seeds field cell
+    (floor((r+sub_y)/scale+0.5), floor((c+sub_x)/scale+0.5)), which is
+    always within the 3x3 full-res neighborhood of (scale*m, scale*n), so
+    one 9-tap shifted-select reduce at stride ``scale`` reproduces the
+    scatter exactly: keyline ids are assigned in raster order, so "max id
+    wins" equals the scatter's last-update-wins collision rule.  (NOT
+    separable into per-axis passes: two pixels sharing a row and field
+    column can map to different field rows via their sub_y signs, so a
+    column-only pass would discard one of them.)
+
+    Output layout matches att_field_pallas's stack0 (regions sy, sx, id,
+    gx, gy in FIELD units with _flood_pad sentinel rows); feed directly to
+    _att_flood."""
+    from rebvio_tpu.ops.pallas_kernels import _flood_pad
+
+    H, W = kl_id_img.shape
+    s = scale
+    frows = (rows + s - 1) // s
+    fcols = (cols + s - 1) // s
+    sr = search_range if s == 1 else max(1, round(search_range / s))
+
+    g2 = gx * gx + gy * gy
+    use = (kl_id_img >= 0) & jnp.where(threshold > 0.0,
+                                       g2 >= threshold * threshold, True)
+    idm = jnp.where(use, kl_id_img, -1).astype(jnp.float32)
+    inv_s = jnp.float32(1.0 / s)
+    rr = jnp.arange(H, dtype=jnp.float32)[:, None]
+    cc = jnp.arange(W, dtype=jnp.float32)[None, :]
+    py = (rr + sub_y) * inv_s          # seed coords in field units
+    px = (cc + sub_x) * inv_s
+    fr = jnp.floor(py + 0.5)           # destination field cell (kept f32:
+    fc = jnp.floor(px + 0.5)           # exact for coords < 2^24)
+
+    miota = jnp.arange(frows, dtype=jnp.float32)[:, None]
+    niota = jnp.arange(fcols, dtype=jnp.float32)[None, :]
+
+    # The 9 taps need stride-s slices of the full-res planes.  Strided
+    # slicing on the minor (lane) dimension is a scalar-loop path on TPU
+    # (traced r5: a fused 9-tap stride-2 reduce over 7 planes ran at 55 ms
+    # vs the ~0.1 ms of dense work it does), so for the s == 2 case the
+    # stride is removed by a PARITY DECOMPOSITION: row parity via a free
+    # major-dim reshape, column parity via transpose + major-dim reshape +
+    # transpose back (all layout-friendly ops), after which every tap is a
+    # whole-element shift of a [frows, fcols] parity plane.  A uniform -1
+    # fill is safe everywhere: key = -1 rejects the candidate before the
+    # fr/fc comparison matters.
+    planes7 = jnp.stack([idm, fr, fc, py, px, gx, gy])  # [7,H,W]
+    if s == 2:
+        Hp, Wp = H + (H % 2), W + (W % 2)
+        p7 = jnp.pad(planes7, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                     constant_values=-1.0)
+        rows2 = p7.reshape(7, Hp // 2, 2, Wp)
+        par = {}
+        for ry in (0, 1):
+            q = rows2[:, :, ry, :]                       # [7, Hp/2, Wp]
+            qt = q.transpose(0, 2, 1)                    # [7, Wp, Hp/2]
+            cols2 = qt.reshape(7, Wp // 2, 2, Hp // 2)
+            for cx in (0, 1):
+                par[(ry, cx)] = cols2[:, :, cx, :].transpose(0, 2, 1)
+
+        def tap7(dy, dx):
+            q = par[(1 if dy else 0, 1 if dx else 0)]
+            if dy < 0:
+                q = jnp.pad(q, ((0, 0), (1, 0), (0, 0)),
+                            constant_values=-1.0)[:, :-1, :]
+            if dx < 0:
+                q = jnp.pad(q, ((0, 0), (0, 0), (1, 0)),
+                            constant_values=-1.0)[:, :, :-1]
+            return q
+    else:
+        def tap7(dy, dx):
+            pp = jnp.pad(planes7, ((0, 0), (1, s), (1, s)),
+                         constant_values=-1.0)
+            return pp[:, 1 + dy: 1 + dy + s * frows: s,
+                      1 + dx: 1 + dx + s * fcols: s]
+
+    best_key = None
+    best = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            t7 = tap7(dy, dx)
+            ck = t7[0]
+            ok = (t7[1] == miota) & (t7[2] == niota)
+            ck = jnp.where(ok, ck, -1.0)
+            cand = [t7[i] for i in (3, 4, 5, 6)]
+            if best_key is None:
+                best_key, best = ck, cand
+            else:
+                upd = ck > best_key
+                best_key = jnp.where(upd, ck, best_key)
+                best = [jnp.where(upd, c, b) for c, b in zip(cand, best)]
+    py2, px2, gx2, gy2 = best
+
+    BIG = jnp.float32(1e9)
+    found = best_key >= 0.0
+    syp = jnp.where(found, py2, BIG)
+    sxp = jnp.where(found, px2, BIG)
+    idp = jnp.where(found, best_key, -1.0)
+    gxp = jnp.where(found, gx2, 0.0)
+    gyp = jnp.where(found, gy2, 0.0)
+    PAD = _flood_pad(sr)
+    padr = jnp.zeros((PAD, fcols), jnp.float32)
+    return jnp.concatenate([
+        syp, padr + BIG, sxp, padr + BIG,
+        idp, padr - 1.0, gxp, padr, gyp, padr,
+    ], axis=0)

@@ -50,6 +50,45 @@ def detect(
     (the auto-gain update itself happens in the pipeline, mirroring
     edge_detector.cpp:33-36).
     """
+    em, _aux = _detect_core(image, threshold, mats, cfg, cam, field_scale)
+    return em
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam", "field_scale", "search_range"))
+def detect_with_seeds(
+    image: jnp.ndarray,
+    threshold: jnp.ndarray,
+    mats: FrontendMatrices,
+    cfg: EdgeDetectorConfig,
+    cam: CameraConfig,
+    field_scale: int,
+    search_range: int,
+):
+    """detect() plus the att-field seed stack built DENSELY from the
+    detector's own per-pixel planes (distance_field.seed_stack_dense) —
+    the fast path for the JFA attribute field: no [K]->[n,8] scatter, no
+    lane-padded table init/transpose (traced r4: ~375 us of a 2935 us
+    parity step).  Returns (EdgeMap, seed_stack); feed the stack to
+    build_att_field(..., seed_stack=...)."""
+    from rebvio_tpu.ops import distance_field as DF
+
+    em, (xs, ys, t0, t1) = _detect_core(image, threshold, mats, cfg, cam,
+                                        field_scale)
+    H, W = image.shape
+    stack = DF.seed_stack_dense(
+        em.kl_id_img, xs, ys, t0, t1, em.threshold,
+        search_range, H, W, field_scale)
+    return em, stack
+
+
+def _detect_core(
+    image: jnp.ndarray,
+    threshold: jnp.ndarray,
+    mats: FrontendMatrices,
+    cfg: EdgeDetectorConfig,
+    cam: CameraConfig,
+    field_scale: int = 1,
+):
     H, W = image.shape
     pfs = cfg.plane_fit_size
     kmax = cfg.keylines_max
@@ -167,7 +206,7 @@ def detect(
     map_threshold = _tune_threshold(grad_norm, valid, count, cfg)
 
     em = T.empty_edge_map(kmax, H, W, field_scale)
-    return em.replace(
+    em = em.replace(
         pos=pos, pos_img=pos_img, match_pos_img=pos_img,
         grad=grad, grad_norm=grad_norm,
         rho=jnp.full((kmax,), T.RHO_INIT, jnp.float32),
@@ -176,6 +215,9 @@ def detect(
         valid=valid, count=count, kl_id_img=kl_id_img,
         threshold=map_threshold,
     )
+    # dense per-pixel planes for seed_stack_dense (dead-code-eliminated by
+    # XLA when the caller only uses the EdgeMap)
+    return em, (xs, ys, t0, t1)
 
 
 def _join_edges(pos, grad, valid, kl_id_img) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -61,14 +61,22 @@ def detect_frame(state: T.VioState, frame: jnp.ndarray, mats: FrontendMatrices,
     threshold = edge_detect.autogain_threshold(
         state.detector_threshold, state.keylines_count, config.detector
     )
-    new_map = edge_detect.detect(frame, threshold, mats, config.detector, config.camera,
-                                 field_scale=config.field_scale)
     if config.df_mode == "jfa":
+        # dense-plane seeding (seed_stack_dense): the scatter-free fast path
+        # for the JFA attribute field; build_att_field's Pallas flood uses
+        # the stack, the XLA fallback ignores it (DCE'd on CPU)
+        new_map, stack = edge_detect.detect_with_seeds(
+            frame, threshold, mats, config.detector, config.camera,
+            config.field_scale, int(config.core.search_range))
         att = DF.build_att_field(
             new_map, int(config.core.search_range), config.camera.rows,
-            config.camera.cols, config.field_scale,
+            config.camera.cols, config.field_scale, seed_stack=stack,
         )
         new_map = new_map.replace(att_img=att)
+    else:
+        new_map = edge_detect.detect(frame, threshold, mats, config.detector,
+                                     config.camera,
+                                     field_scale=config.field_scale)
     return new_map, threshold
 
 
@@ -386,14 +394,19 @@ def step_chunk_pipelined(
     )
 
     def detect_one(fr):
-        m = edge_detect.detect(fr, threshold, mats, config.detector, config.camera,
-                               field_scale=config.field_scale)
         if config.df_mode == "jfa":
+            m, stack = edge_detect.detect_with_seeds(
+                fr, threshold, mats, config.detector, config.camera,
+                config.field_scale, int(config.core.search_range))
             att = DF.build_att_field(
                 m, int(config.core.search_range), config.camera.rows,
-                config.camera.cols, config.field_scale,
+                config.camera.cols, config.field_scale, seed_stack=stack,
             )
             m = m.replace(att_img=att)
+        else:
+            m = edge_detect.detect(fr, threshold, mats, config.detector,
+                                   config.camera,
+                                   field_scale=config.field_scale)
         return m
 
     maps = jax.vmap(detect_one)(frames)

@@ -59,6 +59,12 @@ def main(argv=None):
                          "readbacks) — earlier revisions used phase 0 "
                          "({0, kf, 2*kf, ...}), so keyframe indices differ "
                          "from pre-r4 outputs")
+    ap.add_argument("--roll-sweep", type=float, default=0.0, metavar="DEG",
+                    help="loop closure: extend the coarse yaw sweep to a 2-D "
+                         "yaw x roll grid sweeping +-DEG about the optical "
+                         "axis (needed when roll drift exceeds the ~1-deg "
+                         "registration basin; off by default — on pure-yaw "
+                         "drift the extra candidates add selection noise)")
     ap.add_argument("--platform", choices=["default", "cpu"], default="default",
                     help="force the JAX backend (cpu for quick local runs)")
     ap.add_argument("--matcher", choices=["tube", "walk"], default="tube",
@@ -210,6 +216,7 @@ def main(argv=None):
             kf_R, kf_t, builder.kf_maps, config,
             K_scale=float(runner.state.K),
             min_matches=int(config.core.global_min_matches_threshold),
+            coarse_sweep2_deg=args.roll_sweep,
         )
         g_opt, hist = pgm.optimize(g, iters=12)
         out["pg_keyframes"] = builder.n_keyframes()

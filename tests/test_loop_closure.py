@@ -185,6 +185,50 @@ def test_coarse_align_recovers_multi_degree_drift(kf_run):
     assert err_coarse < 0.25 * max(err_direct, 1e-9), (err_coarse, err_direct)
 
 
+def test_coarse_align_recovers_off_axis_drift(kf_run):
+    """VERDICT r4 item 5: drift with a significant ROLL component (about the
+    optical axis) on top of yaw — beyond the registration basin on BOTH
+    axes — aliases on the gravity-only 1-D sweep; the 2-D yaw x roll sweep
+    (axis2_i = camera optical axis) plus registration must recover it."""
+    cfg, seq, builder = kf_run
+    kf_R = np.stack([k.R_wc for k in builder.keyframes])
+    i, j = 2, 5
+    R_chain = kf_R[i].T @ kf_R[j]
+    up = np.array([0.0, 1.0, 0.0])
+    axis_i = kf_R[i].T @ up
+    axis2_i = np.array([0.0, 0.0, 1.0])  # camera-i optical axis (roll)
+    drift = (np.asarray(so3.exp(jnp.asarray(axis_i * np.radians(3.0), jnp.float32)))
+             @ np.asarray(so3.exp(jnp.asarray(axis2_i * np.radians(2.5), jnp.float32))))
+    R_prior_bad = (drift @ R_chain).astype(np.float32)
+    assert _angle_deg(R_prior_bad, R_chain) > 3.0
+
+    def register_from(R_seed):
+        R_m, _, nfm, _ = lc.register_pair(
+            builder.kf_maps[i], builder.kf_maps[j], jnp.asarray(R_seed), cfg)
+        return _angle_deg(np.asarray(R_m), R_chain), int(nfm)
+
+    # 1-D gravity sweep: the 2.5-deg roll component stays outside every
+    # candidate's basin, so the registration cannot fully recover
+    R_1d, _, cnt_1d = lc.coarse_align(
+        builder.kf_maps[i], builder.kf_maps[j], jnp.asarray(R_prior_bad),
+        cfg, axis_i, sweep_deg=8.0, steps=17)
+    err_1d, _ = register_from(R_1d)
+
+    # 2-D yaw x roll sweep (0.5-deg roll spacing)
+    R_2d, _, cnt_2d = lc.coarse_align(
+        builder.kf_maps[i], builder.kf_maps[j], jnp.asarray(R_prior_bad),
+        cfg, axis_i, sweep_deg=8.0, steps=17,
+        axis2_i=axis2_i, sweep2_deg=3.0, steps2=13)
+    err_2d, nfm_2d = register_from(R_2d)
+
+    # measured at authoring: err_1d 1.48 deg (the roll component is outside
+    # every 1-D candidate's basin), err_2d 0.60 deg
+    assert cnt_2d >= cnt_1d, (cnt_1d, cnt_2d)
+    assert nfm_2d > 200
+    assert err_2d < 0.75, (err_2d, err_1d)
+    assert err_2d < 0.55 * max(err_1d, 1e-9), (err_2d, err_1d)
+
+
 def test_graph_with_coarse_alignment_fixes_drifted_loop(kf_run):
     """End-to-end: inject a 3.5-deg yaw drift into the keyframe chain, then
     build the pose graph from the REAL stored maps.  Without the coarse
@@ -243,3 +287,57 @@ def test_graph_with_coarse_alignment_fixes_drifted_loop(kf_run):
     err_before = rot_err(kf_R_d)
     err_after = rot_err(np.asarray(g_opt.R))
     assert err_after < 0.7 * err_before, (err_before, err_after)
+
+
+def test_graph_with_roll_sweep_fixes_off_axis_drifted_loop(kf_run):
+    """VERDICT r4 item 5 end-to-end: inject combined yaw (3 deg) + roll
+    (2.5 deg) drift.  The yaw-only coarse stage cannot land the roll
+    component inside the registration basin — its surviving 'factors' are
+    registrations stuck AT the drifted prior (factor error ~ injected
+    drift).  With the 2-D yaw x roll sweep (coarse_sweep2_deg > 0, the
+    --roll-sweep CLI flag) factor quality improves decisively and the
+    optimized trajectory moves back toward the undrifted estimate."""
+    cfg, seq, builder = kf_run
+    kf_R = np.stack([k.R_wc for k in builder.keyframes])
+    kf_t = np.stack([k.t_wc for k in builder.keyframes])
+    F = len(kf_t)
+    k0 = F // 2
+    up = np.array([0.0, 1.0, 0.0])
+    zw = np.array([0.0, 0.0, 1.0])
+    dR = (np.asarray(so3.exp(jnp.asarray(up * np.radians(3.0), jnp.float32)))
+          @ np.asarray(so3.exp(jnp.asarray(zw * np.radians(2.5), jnp.float32))))
+    pivot = kf_t[k0].copy()
+    kf_R_d, kf_t_d = kf_R.copy(), kf_t.copy()
+    for k in range(k0, F):
+        kf_R_d[k] = dR @ kf_R[k]
+        kf_t_d[k] = dR @ (kf_t[k] - pivot) + pivot
+
+    kw = dict(config=cfg, K_scale=1.0, min_gap=6, radius=10.0,
+              min_matches=100, w_loop=2.0, coarse_sweep_deg=8.0)
+    g1, n1 = lc.build_graph_from_run(kf_R_d, kf_t_d, builder.kf_maps,
+                                     coarse_sweep2_deg=0.0, **kw)
+    g2, n2 = lc.build_graph_from_run(kf_R_d, kf_t_d, builder.kf_maps,
+                                     coarse_sweep2_deg=3.0, **kw)
+
+    def loop_errs(g, n):
+        F_seq = len(np.asarray(g.f_i)) - n
+        return np.asarray([
+            _angle_deg(Rm, kf_R[a].T @ kf_R[b])
+            for a, b, Rm in zip(np.asarray(g.f_i)[F_seq:],
+                                np.asarray(g.f_j)[F_seq:],
+                                np.asarray(g.f_Rij)[F_seq:])])
+
+    e1 = loop_errs(g1, n1)
+    e2 = loop_errs(g2, n2)
+    # measured at authoring: 1-D n=12, e=2.65 deg (~the injected 3.9-deg
+    # drift: stuck registrations); 2-D n=21, e=1.45 deg
+    assert n2 >= 2
+    assert n2 > n1, (n1, n2)
+    assert e2.mean() < 1.8, e2
+    if n1:
+        assert e2.mean() < 0.65 * e1.mean(), (e1.mean(), e2.mean())
+
+    g_opt, hist = pgm.optimize(g2, iters=15)
+    assert np.asarray(hist)[-1] < np.asarray(hist)[0]
+    rot_err = lambda Rs: np.mean([_angle_deg(a, b) for a, b in zip(Rs, kf_R)])
+    assert rot_err(np.asarray(g_opt.R)) < rot_err(kf_R_d)
