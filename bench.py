@@ -208,10 +208,13 @@ def bench_realtime(config, n_frames=120, speeds=(1.0, 1.5, 2.0, 3.0)):
     """Keep-up envelope: pace frames at sensor rate x speed with bounded
     queues (runner.run_realtime = the reference's paced rosbag player +
     subscriber queues, ros_rebvio.cpp:89-126) and sweep the speed until
-    frames drop.  The reference's own node plays back at 1.5x
-    (ros_rebvio_node.cpp:30-36), so the zero-drop envelope must reach at
-    least 1.5x for parity; worst latency is reported against the 20 Hz
-    sensor's 50 ms frame budget (VERDICT r4 item 2c)."""
+    frames drop.  Queue depth 20 = the reference's own image subscriber
+    queue (ros_rebvio.cpp:56).  The reference node passes speed 1.5
+    (ros_rebvio_node.cpp) — note its player SLEEPS dt*speed
+    (ros_rebvio.cpp:117), so its "1.5" is actually 2/3 real-time playback;
+    here speed multiplies the frame RATE, so speed >= 1.5 is strictly
+    harder.  Worst latency is reported against the 20 Hz sensor's 50 ms
+    frame budget (VERDICT r4 item 2c)."""
     from rebvio_tpu.runner import VioRunner
 
     seq_d = _streaming_seq(config.camera, n_frames)
@@ -221,7 +224,7 @@ def bench_realtime(config, n_frames=120, speeds=(1.0, 1.5, 2.0, 3.0)):
     max_ok = 0.0
     for sp in speeds:
         runner.reset()
-        rt = runner.run_realtime(seq_d, speed=sp, queue_size=2)
+        rt = runner.run_realtime(seq_d, speed=sp, queue_size=20)
         envelope.append({
             "speed": sp,
             "processed": rt.processed,
@@ -235,6 +238,7 @@ def bench_realtime(config, n_frames=120, speeds=(1.0, 1.5, 2.0, 3.0)):
     return {
         "frames": n_frames,
         "frame_budget_ms": 50.0,
+        "queue_size": 20,
         "envelope": envelope,
         "max_zero_drop_speed": max_ok,
     }

@@ -253,14 +253,41 @@ class VioRunner:
             self.state, odos, trace = step_chunk_traced(
                 self.state, frames, imu_b, dts, self.config, self.mats
             )
-            # one host fetch per field for the whole chunk
-            t_valid = np.asarray(trace["valid"])
-            t_mid = np.asarray(trace["match_id"])
-            t_pi = np.asarray(trace["pos_img"])
-            t_rho = np.asarray(trace["rho"])
-            o_ori = np.asarray(odos.orientation)
-            o_pos = np.asarray(odos.position)
-            K_now = float(self.state.K)
+            # ONE host fetch for the whole chunk: every trace/odometry field
+            # plus the K scalar packed into a single flat f32 buffer on
+            # device (r5: per-field np.asarray fetches cost one ~25 ms
+            # tunnel round-trip EACH — seven of them made the mapping path
+            # 3.5x slower than the plain run; one packed fetch is one RTT).
+            # match_id/num_matches ride as exact f32 (< 2^24).
+            C = chunk
+            K = trace["valid"].shape[1]
+            flat = jnp.concatenate([
+                trace["valid"].astype(jnp.float32).reshape(-1),
+                trace["match_id"].astype(jnp.float32).reshape(-1),
+                trace["pos_img"].reshape(-1),
+                trace["rho"].reshape(-1),
+                odos.orientation.reshape(-1),
+                odos.position.reshape(-1),
+                odos.num_matches.astype(jnp.float32).reshape(-1),
+                odos.run_ok.astype(jnp.float32).reshape(-1),
+                self.state.K.reshape(1),
+            ])
+            buf = np.asarray(flat)
+            o = 0
+            def take(sz, shape):
+                nonlocal o
+                v = buf[o:o + sz].reshape(shape)
+                o += sz
+                return v
+            t_valid = take(C * K, (C, K)) > 0.5
+            t_mid = take(C * K, (C, K)).astype(np.int32)
+            t_pi = take(C * K * 2, (C, K, 2))
+            t_rho = take(C * K, (C, K))
+            o_ori = take(C * 3, (C, 3))
+            o_pos = take(C * 3, (C, 3))
+            o_nm = take(C, (C,)).astype(np.int32)
+            o_ok = take(C, (C,)) > 0.5
+            K_now = float(buf[o])
             for k in range(chunk):
                 is_boundary = k == chunk - 1
                 builder.add_frame_arrays(
@@ -271,8 +298,8 @@ class VioRunner:
             ts.extend(int(seq.ts_us[i]) for i in range(lo, lo + chunk))
             ori.append(o_ori)
             pos.append(o_pos)
-            nm.append(np.asarray(odos.num_matches))
-            ok.append(np.asarray(odos.run_ok))
+            nm.append(o_nm)
+            ok.append(o_ok)
         for i in range(n - n % chunk, n):  # tail: per-frame path
             odo = self.process_frame(
                 seq.images[i], int(seq.ts_us[i]), seq.imu_ts_us,

@@ -89,6 +89,63 @@ def test_elastic_recovery_resumes_tracking():
     assert res.num_matches[-1] > 500
 
 
+def _corrupt_burst(images, lo, hi, seed=7):
+    """Severe imaging burst (sensor dropout / gross over-gain analogue):
+    scene contrast collapses to 15 % and heavy per-frame-independent read
+    noise dominates, so detections are noise edges that cannot match across
+    frames.  Harsher than the anchor DEGRADE_PRESETS, which are
+    deliberately tuned so the reference binary still tracks — this burst
+    drops matches below the 500-match latch threshold."""
+    rng = np.random.RandomState(seed)
+    H, W = images.shape[1:]
+    for k in range(lo, hi):
+        images[k] = np.clip(
+            images[k] * 0.15 + 30.0 + rng.randn(H, W) * 25.0, 0, 255)
+
+
+def test_recovery_beyond_reference_envelope():
+    """VERDICT r4 item 6: a degradation burst HARSHER than the anchor
+    presets (those are tuned so the reference still tracks).  Under
+    reference semantics the <500-match latch fires and the pose freezes
+    FOREVER (rebvio.cpp:236-252) — confirmed here by the recover_on_failure
+    =False run.  With elastic recovery the pipeline re-seeds after the
+    burst, re-locks, and the post-recovery trajectory stays accurate
+    (measured at authoring: post-burst ATE 0.038 of the post-burst span)."""
+    import dataclasses
+
+    cfg = _small_cfg(use_imu=False)
+    n = 48
+    lo, hi = 16, 22
+    seq = synthetic.generate(cfg.camera, n_frames=n, seed=3)
+    _corrupt_burst(seq.images, lo, hi)
+
+    # reference semantics: burst latches, pose frozen to the end
+    r0 = VioRunner(cfg, undistort=False)
+    res0 = r0.run(seq)
+    assert not res0.run_ok[hi - 1]
+    assert not res0.run_ok[-1]           # latched forever
+    i_fail = int(np.argmin(res0.run_ok))
+    assert np.allclose(res0.position[i_fail:], res0.position[i_fail])
+
+    # elastic recovery: re-seeds during/after the burst and re-locks
+    cfg_r = dataclasses.replace(cfg, recover_on_failure=True)
+    r1 = VioRunner(cfg_r, undistort=False)
+    res1 = r1.run(seq)
+    assert not res1.run_ok[lo]           # the burst still kills tracking...
+    assert res1.run_ok[-1]               # ...but it re-locks
+    assert res1.num_matches[-1] > 500
+
+    # post-recovery accuracy: the re-locked segment tracks the ground-truth
+    # trajectory shape (sim3-aligned on that segment — recovery restarts
+    # visual scale, exactly like a fresh monocular start)
+    k = hi + 4                            # allow a few re-seed frames
+    assert res1.run_ok[k:].all()
+    seg_gt = seq.gt_pos[k:]
+    span = float(np.linalg.norm(seg_gt.max(0) - seg_gt.min(0)))
+    ate = ev.ate_rmse(res1.position[k:], seg_gt, align=True, with_scale=True)
+    assert ate < 0.12 * span, (ate, span)
+
+
 def test_reference_parity_mode_walk_raster():
     """The reference-semantics path (raster distance field + pixel-walk
     matcher) also tracks end to end."""

