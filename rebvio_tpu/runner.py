@@ -248,58 +248,87 @@ class VioRunner:
                 f"land mid-chunk where no edge-map snapshot exists (ADVICE r4)")
         n = len(seq.images)
         ts, ori, pos, nm, ok = [], [], [], [], []
+        C = chunk
+        # keyframe positions within a chunk (chunk-aligned by the check
+        # above); pos_img/rho are only consumed by the builder's keyframe
+        # branch, so they are fetched for THESE frames only
+        kf_ks = [k for k in range(C)
+                 if k % builder.kf_every == builder.kf_phase]
+        sel = jnp.asarray(kf_ks, jnp.int32)
+
+        def process(flat_dev, kmax, em_snapshot):
+            # ONE host fetch for the whole chunk (r5: per-field np.asarray
+            # fetches cost a full tunnel round-trip EACH — seven of them
+            # made the mapping path 3.5x slower than the plain run), and a
+            # SLIM one: the tunnel reads back at ~20 MB/s, so valid and
+            # match_id pack into one exact-f32 code plane per frame
+            # (v*(K+1) + mid+1 < 2^16) and the pos_img/rho planes ship only
+            # for keyframe frames.  1.3 MB -> ~0.36 MB per 8-frame chunk.
+            buf = np.asarray(flat_dev)
+            o = 0
+
+            def take(sz, shape):
+                nonlocal o
+                v = buf[o:o + sz].reshape(shape)
+                o += sz
+                return v
+
+            K = kmax
+            code = take(C * K, (C, K))
+            t_valid = code >= (K + 1)
+            t_mid = (code - t_valid * (K + 1)).astype(np.int32) - 1
+            kf_pi = take(len(kf_ks) * K * 2, (len(kf_ks), K, 2))
+            kf_rho = take(len(kf_ks) * K, (len(kf_ks), K))
+            o_ori = take(C * 3, (C, 3))
+            o_pos = take(C * 3, (C, 3))
+            o_nm = take(C, (C,)).astype(np.int32)
+            o_ok = take(C, (C,)) > 0.5
+            K_now = float(buf[o])
+            zero2 = np.zeros((K, 2), np.float32)
+            zero1 = np.zeros((K,), np.float32)
+            for k in range(C):
+                ki = kf_ks.index(k) if k in kf_ks else -1
+                builder.add_frame_arrays(
+                    t_valid[k], t_mid[k],
+                    kf_pi[ki] if ki >= 0 else zero2,
+                    kf_rho[ki] if ki >= 0 else zero1,
+                    o_ori[k], o_pos[k], K_scale=K_now,
+                    edge_map=em_snapshot if k == C - 1 else None,
+                )
+            ori.append(o_ori)
+            pos.append(o_pos)
+            nm.append(o_nm)
+            ok.append(o_ok)
+
+        # The fetch of chunk i overlaps chunk i+1's device compute: the
+        # dispatch for i+1 is enqueued BEFORE chunk i's (blocking)
+        # np.asarray readback, so the tunnel transfer + host builder work
+        # hide behind the device.
+        pending = None
         for lo in range(0, n - n % chunk, chunk):
             frames, imu_b, dts = self._pack_inputs(seq, lo, lo + chunk)
             self.state, odos, trace = step_chunk_traced(
                 self.state, frames, imu_b, dts, self.config, self.mats
             )
-            # ONE host fetch for the whole chunk: every trace/odometry field
-            # plus the K scalar packed into a single flat f32 buffer on
-            # device (r5: per-field np.asarray fetches cost one ~25 ms
-            # tunnel round-trip EACH — seven of them made the mapping path
-            # 3.5x slower than the plain run; one packed fetch is one RTT).
-            # match_id/num_matches ride as exact f32 (< 2^24).
-            C = chunk
-            K = trace["valid"].shape[1]
+            kmax = trace["valid"].shape[1]
+            code = (trace["valid"].astype(jnp.float32) * (kmax + 1)
+                    + trace["match_id"].astype(jnp.float32) + 1.0)
             flat = jnp.concatenate([
-                trace["valid"].astype(jnp.float32).reshape(-1),
-                trace["match_id"].astype(jnp.float32).reshape(-1),
-                trace["pos_img"].reshape(-1),
-                trace["rho"].reshape(-1),
+                code.reshape(-1),
+                trace["pos_img"][sel].reshape(-1),
+                trace["rho"][sel].reshape(-1),
                 odos.orientation.reshape(-1),
                 odos.position.reshape(-1),
                 odos.num_matches.astype(jnp.float32).reshape(-1),
                 odos.run_ok.astype(jnp.float32).reshape(-1),
                 self.state.K.reshape(1),
             ])
-            buf = np.asarray(flat)
-            o = 0
-            def take(sz, shape):
-                nonlocal o
-                v = buf[o:o + sz].reshape(shape)
-                o += sz
-                return v
-            t_valid = take(C * K, (C, K)) > 0.5
-            t_mid = take(C * K, (C, K)).astype(np.int32)
-            t_pi = take(C * K * 2, (C, K, 2))
-            t_rho = take(C * K, (C, K))
-            o_ori = take(C * 3, (C, 3))
-            o_pos = take(C * 3, (C, 3))
-            o_nm = take(C, (C,)).astype(np.int32)
-            o_ok = take(C, (C,)) > 0.5
-            K_now = float(buf[o])
-            for k in range(chunk):
-                is_boundary = k == chunk - 1
-                builder.add_frame_arrays(
-                    t_valid[k], t_mid[k], t_pi[k], t_rho[k],
-                    o_ori[k], o_pos[k], K_scale=K_now,
-                    edge_map=self.state.edge_map if is_boundary else None,
-                )
+            if pending is not None:
+                process(*pending)
+            pending = (flat, kmax, self.state.edge_map)
             ts.extend(int(seq.ts_us[i]) for i in range(lo, lo + chunk))
-            ori.append(o_ori)
-            pos.append(o_pos)
-            nm.append(o_nm)
-            ok.append(o_ok)
+        if pending is not None:
+            process(*pending)
         for i in range(n - n % chunk, n):  # tail: per-frame path
             odo = self.process_frame(
                 seq.images[i], int(seq.ts_us[i]), seq.imu_ts_us,
