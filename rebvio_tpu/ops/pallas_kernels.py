@@ -439,6 +439,12 @@ def reg_ekf_pallas(
     def kernel(rho_ref, sr_ref, rn_ref, rp_ref, hn_ref, em_ref,
                qx_ref, qy_ref, q0x_ref, q0y_ref, mux_ref, muy_ref,
                mgn_ref, vel_ref, rho_out_ref, sr_out_ref):
+        # vel arrives as a [3,128] lane-broadcast VMEM tile (NOT SMEM: an
+        # SMEM operand cannot be batched, which broke jax.vmap of the whole
+        # step on real TPU hardware — parallel/batch.py at B >= 2, caught
+        # by the r5 batch-sweep; [1,128] rows broadcast natively against
+        # the [Kr,128] planes, while [1,1] tiles crash the Mosaic
+        # multiplier)
         rho0 = rho_ref[:]
         sr0 = sr_ref[:]
         rn, sn = rn_ref[0], rn_ref[1]
@@ -464,7 +470,9 @@ def reg_ekf_pallas(
         sr1 = jnp.where(apply, (sr0 * wr + sn * wrn + sp * wrp) / wsum, sr0)
 
         # --- updateInverseDepthARLU (core.cpp:417-456) on the blend ---
-        v0, v1, v2 = vel_ref[0], vel_ref[1], vel_ref[2]
+        v0 = vel_ref[0:1, :]
+        v1 = vel_ref[1:2, :]
+        v2 = vel_ref[2:3, :]
         m = em_ref[:] > 0.5
         gn = jnp.where(mgn_ref[:] > 0, mgn_ref[:], 1.0)
         ux = mux_ref[:] / gn
@@ -503,11 +511,12 @@ def reg_ekf_pallas(
             jax.ShapeDtypeStruct((Kr, 128), jnp.float32),
             jax.ShapeDtypeStruct((Kr, 128), jnp.float32),
         ],
-        in_specs=[vspec] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[vspec] * 14,
         out_specs=[vspec] * 2,
         interpret=_auto_interpret(interpret),
     )(rho, sigma_rho, row_n, row_p, has_nb, ekf_m,
-      qx, qy, q0x, q0y, mux, muy, mgn, vel)
+      qx, qy, q0x, q0y, mux, muy, mgn,
+      jnp.broadcast_to(vel.reshape(3, 1), (3, 128)))
 
 
 def try_vel_pallas(
@@ -671,6 +680,223 @@ def try_vel_pallas(
       use_f, residuals, vel, att.T)
     Gp = G.sum(axis=0)
     return Gp[4, 0], Gp[0:4, 0:4], res, mif
+
+
+def _gj_inverse_mosaic(m: jnp.ndarray) -> jnp.ndarray:
+    """linalg.gj_inverse with the pivot division restated as a 0-d scalar
+    multiply: Mosaic broadcasts 0-d scalars natively but CRASHES on [1,1]
+    tile broadcasts ([1,2n] / [1,1])."""
+    n = m.shape[-1]
+    a = jnp.concatenate([m, jnp.eye(n, dtype=m.dtype)], axis=-1)  # [n,2n]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * n), 0)
+    for i in range(n):
+        piv = jnp.sum(a[i:i + 1, i:i + 1])               # 0-d scalar
+        piv_row = a[i:i + 1, :] * (1.0 / piv)            # [1,2n]
+        fac = a[:, i:i + 1]                              # [n,1]
+        a = a - jnp.dot(fac, piv_row, preferred_element_type=m.dtype)
+        a = jnp.where(rows == i, piv_row, a)             # restore pivot row
+    return a[:, n:]
+
+
+def estimate_bias_pallas(
+    a_s, a_v,            # [3] visual / gravity-corrected accelerations
+    x_p,                 # [7] PREDICTED prior state (post KF predict)
+    W_rest,              # [8,11] constant residual-weight bottom block
+    Rs, Rv,              # [3,3] measurement noises
+    Wvw, Xvw,            # [6,6], [6] rigid-transform info/state
+    g_gravit,            # [] gravity norm
+    iters: int = 20,
+    interpret: bool = False,
+):
+    """The SAB Gauss-Newton solve + posterior + rigid-transform re-fusion
+    (sab.sab_gauss_newton + the tail of sab.estimate_bias,
+    core.cpp:376-405 / sab_estimator.cpp:21-165) as ONE Mosaic kernel.
+    The KF predict stays in XLA (it runs once per frame and is a handful
+    of ops); the ``iters``-deep GN loop — ~400 tiny XLA kernels whose
+    launch overhead made the block ~220 us of the parity step
+    (PROFILE_r04: 'needs a Mosaic mega-kernel') — runs entirely in one
+    launch with every matrix a single-tile value.
+
+    Mosaic findings baked in: scalars must be 0-d (reduced via jnp.sum)
+    — [1,1] tile broadcasts crash the Mosaic multiplier; atan2 does not
+    lower (angle wrap is a - 2pi*round(a/2pi)); inverses use the
+    pivot-free Gauss-Jordan (_gj_inverse_mosaic) instead of the unrolled
+    Cholesky — same inverse, different rounding, measured benign
+    (test_sab.py::test_pallas_estimate_bias_matches_xla).
+
+    Returns (K [1,1], X [7,1], P [7,7], Xvw [6,1])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    BIAS_SAT = 5e-1 / 25  # sab_estimator.cpp:34
+    TWO_PI = float(2.0 * np.pi)
+    PI = float(np.pi)
+
+    def kernel(as_ref, av_ref, xp_ref, wrest_ref, rs_ref, rv_ref,
+               wvw_ref, xvw_ref, misc_ref,
+               k_ref, x_out_ref, p_out_ref, xvw_out_ref):
+        ri3 = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+        ci3 = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+        eye3 = (ri3 == ci3).astype(f32)
+        one11 = jnp.ones((1, 1), f32)
+
+        def E(r, c):
+            return ((ri3 == r) & (ci3 == c)).astype(f32)
+
+        def sc(x, r):  # [n,1] tile -> 0-d scalar at row r
+            return jnp.sum(x[r:r + 1, 0:1])
+
+        def skew_s(wx, wy, wz):  # 0-d components -> [3,3]
+            return (wz * (E(1, 0) - E(0, 1)) + wy * (E(0, 2) - E(2, 0))
+                    + wx * (E(2, 1) - E(1, 2)))
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=f32)
+
+        def exp3(w):  # [3,1] -> [3,3] Rodrigues (so3.exp semantics)
+            t2 = jnp.sum(w * w)            # 0-d
+            t = jnp.sqrt(t2)
+            small = t2 < 1e-8
+            ts = jnp.where(small, 1.0, t)
+            a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / ts)
+            b = jnp.where(small, 0.5 - t2 / 24.0,
+                          (1.0 - jnp.cos(t)) / jnp.where(small, 1.0, t2))
+            W = skew_s(sc(w, 0), sc(w, 1), sc(w, 2))
+            return eye3 + a * W + b * dot(W, W)
+
+        def z(r, c):
+            return jnp.zeros((r, c), f32)
+
+        G_ = jnp.sum(misc_ref[0:1, 0:1])   # 0-d gravity norm
+
+        a_s_ = as_ref[:]      # [3,1]
+        a_v_ = av_ref[:]
+        Xp = xp_ref[:]        # [7,1]
+        W_rest_ = wrest_ref[:]
+        Wvw_ = wvw_ref[:]
+        Xvw_ = xvw_ref[:]     # [6,1]
+        Rs_ = rs_ref[:]
+        Rv_ = rv_ref[:]
+        xp0 = sc(Xp, 0)
+
+        def sab_problem(Xc):
+            a_ = sc(Xc, 0)                 # 0-d
+            g_ = Xc[1:4, 0:1]
+            b_ = Xc[4:7, 0:1]
+            sa = jnp.sin(a_)
+            ca = jnp.cos(a_)
+            da = a_ - xp0
+            da = jnp.where(da > PI, da - TWO_PI,
+                           jnp.where(da < -PI, da + TWO_PI, da))
+            Rb = exp3(b_)
+            Rg_vec = dot(Rb, g_)          # [3,1]
+            F0 = (a_s_ + g_) * ca - a_v_ * sa
+            F = jnp.concatenate([
+                F0,
+                (jnp.sum(g_ * g_) - G_ * G_) * one11,
+                da * one11,
+                Rg_vec - Xp[1:4, 0:1],
+                b_ - Xp[4:7, 0:1]], axis=0)             # [11,1]
+            dFda0 = -(a_s_ + g_) * sa - a_v_ * ca
+            dFda = jnp.concatenate([
+                dFda0, z(1, 1), one11, z(6, 1)], axis=0)
+            Gx = -skew_s(sc(Rg_vec, 0), sc(Rg_vec, 1), sc(Rg_vec, 2))
+            dFdx1 = jnp.concatenate([
+                jnp.concatenate([eye3 * ca, z(3, 3)], axis=1),
+                jnp.concatenate([2.0 * g_.T, z(1, 3)], axis=1),
+                z(1, 6),
+                jnp.concatenate([Rb, Gx], axis=1),
+                jnp.concatenate([z(3, 3), eye3], axis=1)], axis=0)  # [11,6]
+
+            Pz = sa * sa * Rv_ + ca * ca * Rs_
+            W0 = _gj_inverse_mosaic(Pz)
+            W = jnp.concatenate([
+                jnp.concatenate([W0, z(3, 8)], axis=1), W_rest_], axis=0)
+
+            dP0 = (2.0 * sa * ca) * (Rv_ - Rs_)
+            dWda0 = -dot(dot(W0, dP0), W0)
+            dWPdW0 = dot(dot(dWda0, Pz), dWda0)
+            F0v = F[0:3, 0:1]
+            dFda0v = dFda[0:3, 0:1]
+
+            WF = dot(W, F)
+            WdFda = dot(W, dFda)
+            j00 = (0.25 * dot(F0v.T, dot(dWPdW0, F0v))
+                   + dot(dFda0v.T, dot(dWda0, F0v))
+                   + dot(dFda.T, WdFda))                 # [1,1]
+            dWdaF_pad = jnp.concatenate([dot(dWda0, F0v), z(8, 1)], axis=0)
+            col = dot(dFdx1.T, 0.5 * dWdaF_pad + WdFda)  # [6,1]
+            blk = dot(dFdx1.T, dot(W, dFdx1))            # [6,6]
+            JtJ = jnp.concatenate([
+                jnp.concatenate([j00, col.T], axis=1),
+                jnp.concatenate([col, blk], axis=1)], axis=0)
+            JtF = jnp.concatenate([
+                0.5 * dot(F0v.T, dot(dWda0, F0v)) + dot(dFda.T, WF),
+                dot(dFdx1.T, WF)], axis=0)               # [7,1]
+            return JtJ, JtF
+
+        # --- Gauss-Newton with wrap + saturation (sab_gauss_newton) ---
+        Xc = Xp
+        for _ in range(iters):
+            JtJ, JtF = sab_problem(Xc)
+            hx = dot(_gj_inverse_mosaic(JtJ), -JtF)      # [7,1]
+            fin = jnp.all(jnp.isfinite(JtJ)) & jnp.all(jnp.isfinite(JtF))
+            hx = jnp.where(fin & ~jnp.all(jnp.isfinite(hx)),
+                           jnp.zeros_like(hx), hx)       # gj_solve semantics
+            Xc = Xc + hx
+            a_new = sc(Xc, 0)
+            # angle wrap to (-pi, pi] without atan2 (unimplemented in
+            # Mosaic): a - 2*pi*round(a / 2*pi) == arctan2(sin a, cos a)
+            # except at the measure-zero a = -pi edge
+            a_new = a_new - TWO_PI * jnp.round(a_new * (1.0 / TWO_PI))
+            bsat = jnp.clip(Xc[4:7, 0:1], -BIAS_SAT, BIAS_SAT)
+            Xc = jnp.concatenate([a_new * one11, Xc[1:4, 0:1], bsat], axis=0)
+
+        JtJ, _ = sab_problem(Xc)
+        Pn = _gj_inverse_mosaic(JtJ)
+
+        af = sc(Xc, 0)
+        k_val = jnp.sin(af) / jnp.cos(af)                # 0-d
+        k_val = jnp.where((k_val < 0) | ~jnp.isfinite(k_val), 0.0, k_val)
+
+        # --- re-fuse rigid transform with bias info (core.cpp:394-405) ---
+        # extracted/placed via SELECTOR-MATRIX dots: lane-offset slices
+        # like JtJ[4:7, 4:7] cannot feed Mosaic concats (mixed layout
+        # offsets), but a dot re-materializes them offset-free
+        s47r = jax.lax.broadcasted_iota(jnp.int32, (3, 7), 0)
+        s47c = jax.lax.broadcasted_iota(jnp.int32, (3, 7), 1)
+        Sel47 = (s47c == s47r + 4).astype(f32)   # [3,7] rows 4..6 of a 7-vec
+        s36r = jax.lax.broadcasted_iota(jnp.int32, (3, 6), 0)
+        s36c = jax.lax.broadcasted_iota(jnp.int32, (3, 6), 1)
+        Sel36 = (s36c == s36r + 3).astype(f32)   # [3,6] rows 3..5 of a 6-vec
+        WVBias = dot(Sel47, dot(JtJ, Sel47.T))   # [3,3]
+        Wb = dot(Sel36.T, dot(WVBias, Sel36))    # [6,6] bottom-right block
+        wc = dot(Sel36, Xvw_) - dot(Sel47, Xc)   # [3,1]
+        WXc = dot(Sel36.T, dot(WVBias, wc))      # [6,1]
+        Xcor = dot(_gj_inverse_mosaic(Wb + Wvw_), dot(Wvw_, Xvw_) + WXc)
+
+        k_ref[:, :] = k_val * one11
+        x_out_ref[:, :] = Xc
+        p_out_ref[:, :] = Pn
+        xvw_out_ref[:, :] = Xcor
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    misc = jnp.asarray(g_gravit, f32).reshape(1, 1)
+    K_o, X_o, P_o, Xvw_o = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), f32),
+            jax.ShapeDtypeStruct((7, 1), f32),
+            jax.ShapeDtypeStruct((7, 7), f32),
+            jax.ShapeDtypeStruct((6, 1), f32),
+        ],
+        in_specs=[vspec] * 9,
+        out_specs=[vspec] * 4,
+        interpret=_auto_interpret(interpret),
+    )(a_s.reshape(3, 1), a_v.reshape(3, 1), x_p.reshape(7, 1), W_rest,
+      Rs, Rv, Wvw, Xvw.reshape(6, 1), misc)
+    return K_o, X_o, P_o, Xvw_o
 
 
 def tube_match_pallas(

@@ -13,12 +13,26 @@ step — exactly the kind of op XLA fuses for free; no kernel needed.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from rebvio_tpu.geometry import linalg, so3
+
+
+def _use_pallas_sab() -> bool:
+    """One-kernel SAB filter on TPU (REBVIO_PALLAS_SAB=0/1 overrides;
+    default auto).  The XLA formulation is ~400 tiny kernels; the Mosaic
+    mega-kernel (pallas_kernels.estimate_bias_pallas) runs the whole
+    predict + GN + re-fuse chain in one launch.  Resolved at TRACE time
+    when called inside a jitted pipeline (same caveat as the tube
+    matcher's flag, matching.directed_match_tube)."""
+    v = os.environ.get("REBVIO_PALLAS_SAB", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() == "tpu"
 
 
 class SabProblem(NamedTuple):
@@ -202,6 +216,18 @@ def estimate_bias(
     prob = SabProblem(a_v=a_v, a_s=a_s, G=g_gravit, x_p=X, Pp=Pp, W_pp=W_pp,
                       Rv=Rv, Rs=Rs, Rg=Rg)
     prob = prob._replace(W_rest=_w_rest(prob))
+    if _use_pallas_sab():
+        # one-launch GN solve + posterior + re-fusion (the predict above
+        # stays XLA: it runs once and shares numerics with this path)
+        from rebvio_tpu.ops.pallas_kernels import estimate_bias_pallas
+
+        K_o, X_o, P_o, Xvw_o = estimate_bias_pallas(
+            a_s, a_v, X, prob.W_rest, Rs, Rv, Wvw, Xvw, g_gravit,
+            iters=iters)
+        Xf = X_o.reshape(7)
+        return EstimateBiasOut(K=K_o.reshape(()), X=Xf, P=P_o,
+                               g_est=Xf[1:4], b_est=Xf[4:7],
+                               Xvw=Xvw_o.reshape(6))
     X = sab_gauss_newton(prob, X, iters)
     JtJ, _ = sab_problem(prob, X)
     P = linalg.chol_inverse(JtJ)

@@ -70,3 +70,54 @@ def test_estimate_bias_scale_recovery():
     )
     assert abs(float(out.K) - scale) < 0.3, float(out.K)
     assert np.linalg.norm(np.asarray(out.g_est) - g) < 0.5
+
+
+def test_pallas_estimate_bias_matches_xla():
+    """The one-kernel Mosaic SAB filter (pallas_kernels.estimate_bias_pallas,
+    exercised through sab.estimate_bias with REBVIO_PALLAS_SAB=1 — interpret
+    mode on CPU) reproduces the XLA path to float tolerance across realistic
+    and perturbed inputs.  Expected deviation source: the pivot-free
+    Gauss-Jordan inverse in place of the unrolled Cholesky — same inverse,
+    different rounding."""
+    import os
+
+    rng = np.random.RandomState(0)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    try:
+        for trial in range(4):
+            scale = [4.0, 1.5, 7.0, 3.0][trial]
+            g = (np.asarray([0.3, -9.7, 0.5], np.float32)
+                 + rng.randn(3).astype(np.float32) * 0.1)
+            a_s = rng.randn(3).astype(np.float32)
+            a_v = (a_s + g) / scale
+            X = jnp.asarray(np.concatenate([[np.arctan(scale * 0.8)], g,
+                                            rng.randn(3) * 1e-3]), jnp.float32)
+            Pm = rng.randn(7, 7).astype(np.float32) * 3e-2
+            P = jnp.asarray(Pm @ Pm.T + np.eye(7, dtype=np.float32) * 1e-2)
+            Wm = rng.randn(6, 6).astype(np.float32)
+            Wvw = jnp.asarray(Wm @ Wm.T + np.eye(6, dtype=np.float32) * 1e3)
+            kw = dict(
+                a_s=jnp.asarray(a_s), a_v=jnp.asarray(a_v),
+                kP=jnp.float32(1.0),
+                Rot=so3.exp(jnp.asarray(rng.randn(3) * 0.05, jnp.float32)),
+                X=X, P=P, Qg=eye * 1e-6, Qrot=eye * 1e-8, Qbias=eye * 1e-10,
+                QKp=jnp.float32(1e-4), Rg=jnp.float32(1e2), Rs=eye * 1e-5,
+                Rv=eye * 1e-4, Wvw=Wvw,
+                Xvw=jnp.asarray(rng.randn(6) * 1e-2, jnp.float32),
+                g_gravit=jnp.float32(9.81),
+            )
+            os.environ["REBVIO_PALLAS_SAB"] = "0"
+            ref = sab.estimate_bias(**kw, iters=8)
+            os.environ["REBVIO_PALLAS_SAB"] = "1"
+            out = sab.estimate_bias(**kw, iters=8)
+            np.testing.assert_allclose(np.asarray(out.K), np.asarray(ref.K),
+                                       rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(out.X), np.asarray(ref.X),
+                                       rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(out.Xvw),
+                                       np.asarray(ref.Xvw),
+                                       rtol=5e-3, atol=5e-3)
+            np.testing.assert_allclose(np.asarray(out.P), np.asarray(ref.P),
+                                       rtol=5e-2, atol=1e-5)
+    finally:
+        os.environ.pop("REBVIO_PALLAS_SAB", None)
