@@ -190,14 +190,15 @@ def _detect_core(
     pos_img = pos - jnp.array([cam.cx, cam.cy], jnp.float32)
     pos_img = jnp.where(valid[:, None], pos_img, 0.0)
 
-    # dense id image (detector's keylines_mask_, edge_detector.hpp:86)
-    scatter_idx = jnp.where(valid, safe_idx, H * W)  # out-of-range -> dropped
-    kl_id_img = (
-        jnp.full((H * W,), -1, jnp.int32)
-        .at[scatter_idx]
-        .set(jnp.arange(kmax, dtype=jnp.int32), mode="drop")
-        .reshape(H, W)
-    )
+    # dense id image (detector's keylines_mask_, edge_detector.hpp:86).
+    # Slot ids are raster-order candidate RANKS, so the image is a dense
+    # two-level prefix sum (within-segment cumsum + the per-segment starts
+    # already computed above) instead of a [K]-index scatter (~96 us at
+    # 16k keylines, r4 trace; the cumsum is ~log(SEG) fused dense passes).
+    rank = (jnp.cumsum(cand.reshape(NSEG, SEG).astype(jnp.int32), axis=1)
+            - 1 + starts[:, None]).reshape(-1)
+    kl_id_img = jnp.where(cand_flat & (rank < kmax), rank,
+                          -1).reshape(H, W).astype(jnp.int32)
 
     # --- edge joining (edge_detector.cpp:125-165) ---
     id_next, id_prev = _join_edges(pos, grad, valid, kl_id_img)

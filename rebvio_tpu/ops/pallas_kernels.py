@@ -282,11 +282,25 @@ def _att_flood(
         out_ref[6, :, :] = st[Rp:Rp + rows, :] * fscale
         out_ref[7, :, :] = st[0:rows, :] * fscale
 
+    # Explicit full-array blocks (not bare memory_space specs): under
+    # jax.vmap a block-less spec loads the WHOLE batched operand into VMEM
+    # — at B=8 full-res that is 15.4 MB of seed stacks and blows the 16 MB
+    # scoped-vmem limit (caught by the r5 real-chip batch sweep).  With a
+    # block shape, the batching rule prepends a size-1 batch block and each
+    # grid instance stays at the single-sequence footprint.
     out = pl.pallas_call(
         kernel,
+        grid=(1,),
         out_shape=jax.ShapeDtypeStruct((8, rows, cols), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec((SR, cols), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, rows, cols), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        # v5e has 128 MB of physical VMEM; the compiler's default 16 MB
+        # scoped limit rejects the BATCHED flood (jax.vmap at B = 8 keeps
+        # the full seed-stack operand resident) even though it fits — raise
+        # the cap for this kernel (caught by the r5 real-chip batch sweep)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=_auto_interpret(interpret),
     )(stack0)
     return out.reshape(8, n).T
