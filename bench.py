@@ -437,7 +437,9 @@ def main():
         "reference_fps_measured": ref_fps,
         "profiles": {k: {"fps": p["fps"], "vs_baseline": p["vs_baseline"],
                          "keylines_max": p["config"].detector.keylines_max,
-                         "tube_probes": p["config"].edge_map.tube_probes}
+                         "tube_probes": p["config"].edge_map.tube_probes,
+                         **({"low_latency_fps": p["low_latency_fps"]}
+                            if "low_latency_fps" in p else {})}
                      for k, p in profiles.items()},
         **streaming,
         **roofline,
