@@ -191,14 +191,19 @@ def _detect_core(
     pos_img = jnp.where(valid[:, None], pos_img, 0.0)
 
     # dense id image (detector's keylines_mask_, edge_detector.hpp:86).
-    # Slot ids are raster-order candidate RANKS, so the image is a dense
-    # two-level prefix sum (within-segment cumsum + the per-segment starts
-    # already computed above) instead of a [K]-index scatter (~96 us at
-    # 16k keylines, r4 trace; the cumsum is ~log(SEG) fused dense passes).
-    rank = (jnp.cumsum(cand.reshape(NSEG, SEG).astype(jnp.int32), axis=1)
-            - 1 + starts[:, None]).reshape(-1)
-    kl_id_img = jnp.where(cand_flat & (rank < kmax), rank,
-                          -1).reshape(H, W).astype(jnp.int32)
+    # Kept as the [K]-index scatter: slot ids are raster-order candidate
+    # ranks, and a dense two-level prefix-sum form (within-segment cumsum +
+    # the per-segment starts above) was built and A/B-measured r5 — 37.7 us
+    # standalone vs the scatter's 96 us, but inside the lax.scan chunk body
+    # its reduce-window lowers to a 153 us/frame op and the bench LOSES
+    # ~12 fps (360.8 -> 349.0).  Scatter wins in the shipping path.
+    scatter_idx = jnp.where(valid, safe_idx, H * W)  # out-of-range -> dropped
+    kl_id_img = (
+        jnp.full((H * W,), -1, jnp.int32)
+        .at[scatter_idx]
+        .set(jnp.arange(kmax, dtype=jnp.int32), mode="drop")
+        .reshape(H, W)
+    )
 
     # --- edge joining (edge_detector.cpp:125-165) ---
     id_next, id_prev = _join_edges(pos, grad, valid, kl_id_img)
