@@ -110,6 +110,7 @@ def match_counts(
     H, W = cam.rows, cam.cols
     Wf = (W + fs - 1) // fs
     thr = config.core.match_threshold
+    att_j = att_j.T                      # [8,N] planes -> [N,8] rows, once
 
     def count_one(Rc):
         old = matching.rotate_keylines(em_i, Rc.T, cam.fm)

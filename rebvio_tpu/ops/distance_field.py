@@ -86,6 +86,16 @@ def field_id(field: jnp.ndarray, kmax: int) -> jnp.ndarray:
 ATT_PACKED, ATT_D2, ATT_ID, ATT_GX, ATT_GY, ATT_GN, ATT_POSX, ATT_POSY = range(8)
 
 
+def att_rows(att_planes):
+    """[8, N] attribute planes -> [N, 8] gatherable rows.
+
+    One lane-padding transpose per step (~33 us at full res); the row form
+    is what TPU row gathers need, the plane form is what the scan carry and
+    the flood kernel want — materialize rows exactly once per consumer
+    step, never carry them."""
+    return att_planes.T
+
+
 def _jfa_state(
     em: T.EdgeMap, search_range: int, rows: int, cols: int, scale: int,
     payload: list,
@@ -232,8 +242,14 @@ def build_att_field(
     em: T.EdgeMap, search_range: int, rows: int, cols: int, scale: int = 1,
     seed_stack: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Dense nearest-keyline ATTRIBUTE field: [N, 8] rows of
+    """Dense nearest-keyline ATTRIBUTE field: [8, N] PLANES of
     (packed, d2, id, grad_x, grad_y, grad_norm, pos_x, pos_y).
+
+    PLANE-major layout: the minor dim is the cell index N, so the array is
+    lane-compact (an [N, 8] row form is lane-padded 8 -> 128 by the TPU
+    tile layout, 16x the live bytes — traced r5: a 70 us scan-carry copy
+    per frame just to re-materialize the padding).  Row-gather consumers
+    (tryVel, the tube matcher) transpose once per step via ``att_rows``.
 
     Same jump flood as build_nn_field, but the winning seed carries the
     keyline's detection-time attributes as payload planes, so a consumer
@@ -267,7 +283,7 @@ def build_att_field(
     in_range = state[1] <= jnp.float32(sr * sr)
     state = state.at[2].set(jnp.where(in_range, state[2], -1.0))
     n = state.shape[1] * state.shape[2]
-    return state.reshape(8, n).T
+    return state.reshape(8, n)
 
 
 def _next_pow2(n: int) -> int:

@@ -367,7 +367,7 @@ def _directed_match_tube_impl(
 
     Instead of rasterizing up to 88 pixels along the translation direction
     and probing a sparse detection mask, a handful of probes sample the old
-    map's JFA nearest-attribute field (``old.att_img``); each candidate is gated by
+    map's JFA nearest-attribute field (``old.att_img`` planes, row view\n    via one transpose); each candidate is gated by
     (a) perpendicular distance to the epipolar line <= pixel uncertainty (the
     'tube' — the walk implicitly enforced this by stepping on the line),
     (b) its effective disparity t = (seed - p0) . dir inside the same
@@ -462,6 +462,7 @@ def _directed_match_tube_impl(
          old.match_id_keyframe.astype(jnp.float32)], axis=-1,
     )
 
+    att_rows_tbl = old.att_img.T   # [N,8] row view of the [8,N] planes
     if use_pallas and kmax % 128 == 0:
         # Hybrid split (same as tracker.try_vel): XLA projects + gathers;
         # every post-gather gate, the priority argmin, and the winner
@@ -483,7 +484,7 @@ def _directed_match_tube_impl(
         # [P,K] probe volume), so the [P*K]-index gather is split into P
         # [K]-index gathers; jnp.stack rebuilds the [P,K,*] layout with one
         # cheap concat.
-        rowp_t = jnp.stack([old.att_img[pidx_T[p]] for p in range(P)])
+        rowp_t = jnp.stack([att_rows_tbl[pidx_T[p]] for p in range(P)])
         inb_tb = inb.T                                     # [P,K]
         idf_t = rowp_t[..., ATT_ID]
         os_t = jnp.clip(
@@ -514,7 +515,7 @@ def _directed_match_tube_impl(
         wcnt = jnp.stack([o[9], o[10]], axis=-1)
     else:
         # per-probe gathers: see the Pallas branch (same >16k-index cliff)
-        rowp = jnp.stack([old.att_img[pidx[:, p]] for p in range(n_probes)],
+        rowp = jnp.stack([att_rows_tbl[pidx[:, p]] for p in range(n_probes)],
                          axis=1)                  # [K,P,8]
         oid = jnp.where(inb, rowp[..., ATT_ID].astype(jnp.int32), -1)
         has = oid >= 0

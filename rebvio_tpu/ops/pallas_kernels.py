@@ -121,9 +121,9 @@ def att_field_pallas(
     em: T.EdgeMap, search_range: int, rows: int, cols: int, scale: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in replacement for distance_field.build_att_field: [N,8] rows of
-    (0, d2, id, grad_x, grad_y, grad_norm, pos_x, pos_y), id = -1 beyond
-    ``search_range``.
+    """Drop-in replacement for distance_field.build_att_field: [8, N]
+    PLANES of (0, d2, id, grad_x, grad_y, grad_norm, pos_x, pos_y), id = -1
+    beyond ``search_range``.
 
     The whole jump flood runs in ONE kernel with every plane VMEM-resident:
     the only HBM traffic is one load and one store per plane, vs the XLA
@@ -303,7 +303,12 @@ def _att_flood(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=_auto_interpret(interpret),
     )(stack0)
-    return out.reshape(8, n).T
+    # PLANE-major [8, N] output (minor dim N -> compact, no lane padding):
+    # the scan carry of the att field stays at its live 2.9 MB instead of
+    # the [N,8] row form's 16x lane-padded 46 MB (traced r5: a 70 us
+    # carry copy per frame).  Consumers needing row gathers transpose once
+    # per step (distance_field.att_rows).
+    return out.reshape(8, n)
 
 
 def try_vel_math_pallas(

@@ -75,8 +75,9 @@ def try_vel(
     map the distance field was built from (its keylines supply the matched
     gradient/position via ``calculatefJ``, core.cpp:46-76).
 
-    Two lookup paths: with ``att_f`` (the [N,8] nearest-keyline ATTRIBUTE
-    field, distance_field.build_att_field) the candidate id, gradient and
+    Two lookup paths: with ``att_f`` (the [N,8] ROW view of the nearest-
+    keyline attribute field, distance_field.att_rows) the candidate id,
+    gradient and
     position resolve in ONE row gather; otherwise the id field + keyline
     table are two chained gathers.  The pass is latency-bound on that chain
     (measured: 48 us throughput vs ~175 us effective latency per pass), so
@@ -227,13 +228,15 @@ def minimize_vel(
     matches / residuals reflect the *last* tryVel evaluation whether or not
     it was accepted, matching the reference's in-place updates.
 
-    With ``use_att``, ``field_ids`` is the [N,8] attribute field of the new
-    map (single-gather tryVel path); otherwise the [N] id field.
+    With ``use_att``, ``field_ids`` is the [8,N] attribute-plane field of
+    the new map (single-gather tryVel path); otherwise the [N] id field.
     """
     sigma_rho_min = estimate_quantile(old, cfg.quantile_cutoff, cfg.quantile_num_bins)
     residuals = jnp.zeros((old.kmax,), jnp.float32)
     if use_att:
-        att_f, new_pack, field_f = field_ids, None, None
+        # materialize the gatherable row form ONCE, outside the LM loop
+        # (the [8,N] planes are the carried layout; see distance_field)
+        att_f, new_pack, field_f = field_ids.T, None, None
     else:
         att_f, new_pack, field_f = None, pack_target_fields(new), field_ids.astype(jnp.float32)
 

@@ -63,8 +63,9 @@ def make_minimize_vel_sharded(mesh: Mesh, cfg: CoreConfig, cam: CameraConfig,
     """Returns a jitted (old_map_sharded, new_map_repl, field) ->
     (vel, Rvel, old_map_sharded, score) function.
 
-    With ``use_att`` the replicated ``field`` argument is the [N,8]
-    nearest-keyline attribute field (distance_field.build_att_field) and each
+    With ``use_att`` the replicated ``field`` argument is the [8,N]
+    nearest-keyline attribute-plane field (distance_field.build_att_field)
+    and each
     device runs the product single-gather/Pallas-hybrid tryVel on its keyline
     shard — the same configuration as the unsharded pipeline (df_mode="jfa",
     configs.py); otherwise it is the [N] id field (two chained gathers)."""
@@ -76,7 +77,8 @@ def make_minimize_vel_sharded(mesh: Mesh, cfg: CoreConfig, cam: CameraConfig,
         sigma_rho_min = _quantile_sharded(old, cfg.quantile_cutoff, cfg.quantile_num_bins, "kl")
         residuals = jnp.zeros((old.valid.shape[0],), jnp.float32)
         if use_att:
-            att_f, new_pack, field_f = field, None, None
+            # [8,N] planes -> [N,8] rows once, outside the LM loop
+            att_f, new_pack, field_f = field.T, None, None
         else:
             att_f, new_pack, field_f = None, tracker.pack_target_fields(new), field.astype(jnp.float32)
 

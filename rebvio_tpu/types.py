@@ -52,7 +52,7 @@ class EdgeMap(struct.PyTreeNode):
     valid: jnp.ndarray          # [K] bool
     count: jnp.ndarray          # [] int32 number of valid keylines
     kl_id_img: jnp.ndarray      # [H,W] int32 keyline id per pixel (-1 = none)
-    att_img: jnp.ndarray        # [H*W,8] f32 nearest-keyline attribute field
+    att_img: jnp.ndarray        # [8,H*W] f32 nearest-keyline attribute PLANES (lane-compact; distance_field.att_rows for the gatherable row view)
                                 # (distance_field.build_att_field lanes; the
                                 # tracker's single-gather fast path)
     threshold: jnp.ndarray      # [] f32 detection threshold of this map
@@ -77,7 +77,7 @@ def empty_edge_map(kmax: int, rows: int, cols: int, field_scale: int = 1) -> Edg
         match_id_keyframe=i, matches=jnp.zeros((kmax,), jnp.int32),
         valid=jnp.zeros((kmax,), bool), count=jnp.zeros((), jnp.int32),
         kl_id_img=jnp.full((rows, cols), -1, jnp.int32),
-        att_img=jnp.full((fr * fc, 8), -1.0, jnp.float32),
+        att_img=jnp.full((8, fr * fc), -1.0, jnp.float32),
         threshold=jnp.full((), -1.0, jnp.float32),
     )
 

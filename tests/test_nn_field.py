@@ -65,6 +65,7 @@ def test_pallas_att_field_matches_contract():
     H, W, K, kmax, R = 40, 56, 36, 64, 8
     em, d = make_random_map(rng, K, kmax, H, W)
     att = np.asarray(att_field_pallas(em, R, H, W, scale=1, interpret=True))
+    att = att.T                     # [8,N] planes -> [N,8] rows for the checks
     got = att[:, DF.ATT_ID].astype(np.int32).reshape(H, W)
     want = _brute_nn(np.asarray(em.pos), np.asarray(em.valid), H, W, R)
     pos = np.asarray(em.pos)
@@ -104,10 +105,10 @@ def test_pallas_att_field_scale_matches_xla():
     em, d = make_random_map(rng, K, kmax, H, W)
     os.environ["REBVIO_PALLAS_JFA"] = "0"
     try:
-        ref = np.asarray(DF.build_att_field(em, R, H, W, scale=2))
+        ref = np.asarray(DF.build_att_field(em, R, H, W, scale=2)).T
     finally:
         os.environ.pop("REBVIO_PALLAS_JFA", None)
-    got = np.asarray(att_field_pallas(em, R, H, W, scale=2, interpret=True))
+    got = np.asarray(att_field_pallas(em, R, H, W, scale=2, interpret=True)).T
     pos = np.asarray(em.pos)
     Hs, Ws = H // 2, W // 2
     mismatch = 0

@@ -280,10 +280,10 @@ def test_hybrid_pallas_try_vel_matches_xla():
     rng = np.random.RandomState(7)
     res0 = jnp.asarray(np.abs(rng.randn(det.keylines_max)).astype(np.float32) * 3)
 
-    want = tracker.try_vel(m0, m1, att, vel, srm, res0, core, cam_c, att_f=att)
+    want = tracker.try_vel(m0, m1, att, vel, srm, res0, core, cam_c, att_f=att.T)
     os.environ["REBVIO_PALLAS_TRYVEL"] = "1"
     try:
-        got = tracker.try_vel(m0, m1, att, vel, srm, res0, core, cam_c, att_f=att)
+        got = tracker.try_vel(m0, m1, att, vel, srm, res0, core, cam_c, att_f=att.T)
     finally:
         os.environ.pop("REBVIO_PALLAS_TRYVEL", None)
     np.testing.assert_allclose(float(got.score), float(want.score), rtol=1e-5)
@@ -327,9 +327,9 @@ def test_pallas_try_vel_matches_xla():
     srm = jnp.float32(30.0)
     res0 = jnp.zeros((det.keylines_max,), jnp.float32)
 
-    want = tracker.try_vel(m0, m1, att, vel, srm, res0, core, cam_c, att_f=att)
+    want = tracker.try_vel(m0, m1, att, vel, srm, res0, core, cam_c, att_f=att.T)
     score, G, res, mif = try_vel_pallas(
-        m0, att, vel, srm, res0, core, cam_c, field_scale=1, block=512,
+        m0, att.T, vel, srm, res0, core, cam_c, field_scale=1, block=512,
         interpret=True)
     np.testing.assert_allclose(float(score), float(want.score), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(G[:3, :3]), np.asarray(want.JtJ),

@@ -107,7 +107,7 @@ def main():
 
     # attribute field -> zeros (detect keeps running; flood+seed ablated)
     measure("att_field", [(DFM, "build_att_field",
-        lambda em, sr, r, c, s=1: jnp.zeros(((r // s) * ((c + s - 1) // s), 8),
+        lambda em, sr, r, c, s=1: jnp.zeros((8, (r // s) * ((c + s - 1) // s)),
                                             jnp.float32))])
 
     # ext_rot_vel -> fixed

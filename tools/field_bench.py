@@ -71,7 +71,7 @@ def main():
             m2 = m.replace(pos=pos)
             att = DF.build_att_field(m2, int(config.core.search_range), H, W,
                                      config.field_scale)
-            s = att[:, DF.ATT_D2].sum()
+            s = att[DF.ATT_D2].sum()
             pos = pos * (1.0 + 1e-12 * s)  # data dependency
             return pos, acc + s
         pos, acc = jax.lax.fori_loop(0, CHAIN, body, (m.pos, jnp.float32(0.0)))

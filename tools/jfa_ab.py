@@ -81,9 +81,9 @@ def main():
 
     os.environ["REBVIO_PALLAS_JFA"] = "0"
     att_chain = chain_of(lambda m: DF.build_att_field(
-        m, int(config.core.search_range), H, W, scale)[:, DF.ATT_D2].sum())
+        m, int(config.core.search_range), H, W, scale)[DF.ATT_D2].sum())
     pal_att_chain = chain_of(lambda m: att_field_pallas(
-        m, int(config.core.search_range), H, W, scale)[:, DF.ATT_D2].sum())
+        m, int(config.core.search_range), H, W, scale)[DF.ATT_D2].sum())
     nn_chain = chain_of(lambda m: DF.build_nn_field(
         m, int(config.core.search_range), H, W, scale).astype(jnp.float32).sum())
     pal_chain = chain_of(lambda m: nn_field_pallas(

@@ -189,7 +189,7 @@ def main():
                     return v, acc + o.score
                 v, acc = jax.lax.fori_loop(0, CHAIN, body, (vel, jnp.float32(0.0)))
                 return acc + v.sum()
-            report("try_vel", timeit(lambda: tv_chain(em2, att)))
+            report("try_vel", timeit(lambda: tv_chain(em2, att.T)))
 
 
 if __name__ == "__main__":

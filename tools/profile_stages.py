@@ -123,7 +123,7 @@ def main():
                                      config.field_scale)
             new_map = new_map.replace(att_img=att)
             field_ids = att
-            aux = aux + att[:, DF.ATT_ID].sum()
+            aux = aux + att[DF.ATT_ID].sum()
         else:
             fld = DF.build_distance_field(new_map, int(core_cfg.search_range), cam.rows, cam.cols)
             field_ids = DF.field_id(fld, new_map.kmax)
@@ -181,7 +181,7 @@ def main():
         s2, odo = step(st, fr, imu_d, dt, config, mats)
         em2 = s2.edge_map
         return (msum(em2) + em2.kl_id_img.sum().astype(jnp.float32)
-                + em2.att_img[:, 2].sum()
+                + em2.att_img[2].sum()
                 + odo.position.sum() + odo.orientation.sum() + s2.K
                 + s2.sab_state.X.sum() + s2.Pos.sum())
 

@@ -139,12 +139,13 @@ def measure() -> dict:
         v, acc = jax.lax.fori_loop(0, _CHAIN, body, (v0, jnp.float32(0.0)))
         return acc + v.sum()
 
-    t_chain = timeit(lambda: chain(old_map, new_map, att, vel0), n=10)
+    att_r = att.T                     # [N,8] row view of the planes
+    t_chain = timeit(lambda: chain(old_map, new_map, att_r, vel0), n=10)
     pass_us = max(t_chain - t_floor, 1e-9) / _CHAIN * 1e6
 
     # --- gather-chain ceiling: same-length chain of bare [K,8] row gathers,
     # next indices derived from the gathered values ---
-    Nf = att.shape[0]
+    Nf = att_r.shape[0]
     idx0 = jnp.asarray(
         np.random.default_rng(0).integers(0, Nf, K).astype(np.int32))
 
@@ -158,7 +159,7 @@ def measure() -> dict:
         idx, acc = jax.lax.fori_loop(0, _CHAIN, body, (i0, jnp.float32(0.0)))
         return acc + idx.sum().astype(jnp.float32)
 
-    t_g = timeit(lambda: gather_chain(att, idx0), n=10)
+    t_g = timeit(lambda: gather_chain(att_r, idx0), n=10)
     gather_us = max(t_g - t_floor, 1e-9) / _CHAIN * 1e6
 
     flops = K * (80 + 32)
@@ -294,7 +295,7 @@ def measure_stages() -> dict:
             att = DF.build_att_field(m.replace(grad_norm=m.grad_norm + 1e-12 * g),
                                      int(core_cfg.search_range), H, W,
                                      config.field_scale)
-            s = att[:, DF.ATT_ID].sum()
+            s = att[DF.ATT_ID].sum()
             return s, acc + s
         g, acc = jax.lax.fori_loop(0, CH, body, (jnp.float32(0.0), jnp.float32(0.0)))
         return acc
@@ -338,9 +339,9 @@ def measure_stages() -> dict:
 
     # row-gather throughput: one big [M,8] row gather, amortized
     M = K * P
-    tbl = att
+    tbl = att.T                     # [N,8] row view
     gidx = jnp.asarray(np.random.default_rng(1).integers(
-        0, att.shape[0], M).astype(np.int32))
+        0, tbl.shape[0], M).astype(np.int32))
 
     @jax.jit
     def big_gather(t, i0):

@@ -40,7 +40,7 @@ def main():
     def det_scatter(fr):
         m = edge_detect.detect(fr, thr, mats, config.detector, cam, field_scale=2)
         att = DF.build_att_field(m, 40, cam.rows, cam.cols, 2)
-        return m.pos.sum() + m.grad.sum() + att[:, 1].sum()
+        return m.pos.sum() + m.grad.sum() + att[1].sum()
 
     @jax.jit
     def det0(fr):

@@ -190,18 +190,19 @@ def main_tube():
 
     rng = np.random.RandomState(0)
     pidx_base = jnp.asarray(rng.randint(0, (H//fs)*Wf, size=(P, kmax)), jnp.int32)
+    att_rows0 = m0.att_img.T          # [N,8] row view (planes are the carried form)
 
     def probe_gather(m):
         # index perturbation depends on rho so the gather can't hoist
         off = (m.rho[None, :] * 0).astype(jnp.int32)
-        rowp_t = m0.att_img[pidx_base + off]
+        rowp_t = att_rows0[pidx_base + off]
         return rowp_t.sum()
     c_pg = chain_s(probe_gather)
     t_pg = timeit(lambda: c_pg(m0))
 
     def probe_plus_dyn(m):
         off = (m.rho[None, :] * 0).astype(jnp.int32)
-        rowp_t = m0.att_img[pidx_base + off]
+        rowp_t = att_rows0[pidx_base + off]
         from rebvio_tpu.ops.distance_field import ATT_ID
         dyn = jnp.stack([m0.rho, m0.sigma_rho,
                          m0.matches.astype(jnp.float32),
@@ -214,7 +215,7 @@ def main_tube():
 
     def with_moveaxis(m):
         off = (m.rho[None, :] * 0).astype(jnp.int32)
-        rowp_t = m0.att_img[pidx_base + off]
+        rowp_t = att_rows0[pidx_base + off]
         from rebvio_tpu.ops.distance_field import ATT_ID
         dyn = jnp.stack([m0.rho, m0.sigma_rho,
                          m0.matches.astype(jnp.float32),
@@ -281,27 +282,27 @@ def main_tube2():
     variants = {}
     def v_mono(m):
         off = (m.rho[None, :] * 0).astype(jnp.int32)
-        return m0.att_img[pidx + off].sum()
+        return att_rows0[pidx + off].sum()
     variants["monolithic [P,K]"] = v_mono
 
     def v_split(m):
         off = (m.rho * 0).astype(jnp.int32)
         tot = jnp.float32(0)
         for p in range(P):
-            tot = tot + m0.att_img[pidx[p] + off].sum()
+            tot = tot + att_rows0[pidx[p] + off].sum()
         return tot
     variants["8x per-probe [K]"] = v_split
 
     def v_flat(m):
         off = (m.rho[None, :] * 0).astype(jnp.int32)
-        return m0.att_img[(pidx + off).reshape(-1)].sum()
+        return att_rows0[(pidx + off).reshape(-1)].sum()
     variants["flat [P*K]"] = v_flat
 
     def v_sorted(m):
         # spatially coherent (sorted) indices: locality sensitivity probe
         off = (m.rho[None, :] * 0).astype(jnp.int32)
         srt = jnp.sort(pidx.reshape(-1))
-        return m0.att_img[srt + jnp.tile(off[0], P)].sum()
+        return att_rows0[srt + jnp.tile(off[0], P)].sum()
     variants["sorted [P*K]"] = v_sorted
 
     c_fl = chain_s(lambda m: m.rho.sum())
