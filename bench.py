@@ -335,13 +335,16 @@ def main():
     from rebvio_tpu.configs import PipelineConfig, fast_profile
 
     only = os.environ.get("BENCH_PROFILE", "")
-    n_frames = int(os.environ.get("BENCH_CHUNK", "128"))
+    n_frames = int(os.environ.get("BENCH_CHUNK", "512"))
     ref_fps = _reference_fps()
 
-    # 128-frame scan chunks by default: the offline throughput mode (runner
-    # --chunk 128), amortizing the remote backend's per-dispatch floor
-    # (measured parity fps at 32/64/128 chunks: 274/294/303).  One synthetic
-    # sequence is rendered and shared by both profiles (same camera/gain).
+    # 512-frame scan chunks by default: the offline throughput mode (runner
+    # --chunk 512), amortizing the remote backend's per-dispatch floor to
+    # ~99% of the device-step ceiling (measured parity fps at
+    # 32/64/128/256/512 chunks: 274/294/375/382/387 — the r5 numbers from
+    # 128 up; ~740 MB of staged frames at 512, far under the 16 GB HBM).
+    # One synthetic sequence is rendered and shared by both profiles (same
+    # camera/gain).
     profiles = {}
     if only in ("", "fast"):
         profiles["fast"] = {"config": fast_profile()}
