@@ -161,3 +161,34 @@ def test_pallas_jfa_matches_xla_jfa():
                 mismatch += 1
     assert mismatch <= 0.002 * H * W, mismatch
 
+
+
+def test_att_field_plane_layout_contract():
+    """The attribute field is canonically [8, N] PLANE-major (the
+    lane-compact carried form; see distance_field.build_att_field docstring)
+    and att_rows is its exact [N, 8] gatherable row view.  Pins the r5
+    layout contract so a consumer regression to row-major carry (16x
+    lane-padded scan state) fails loudly."""
+    rng = np.random.RandomState(11)
+    H, W, K, kmax, R = 40, 56, 30, 64, 8
+    em, _ = make_random_map(rng, K, kmax, H, W)
+    att = DF.build_att_field(em, R, H, W)
+    assert att.shape == (8, H * W)
+    rows = DF.att_rows(att)
+    assert rows.shape == (H * W, 8)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(att).T)
+    # id plane consistent with the id-only field on in-range cells
+    ids = np.asarray(DF.build_nn_field(em, R, H, W))
+    att_ids = np.asarray(att[DF.ATT_ID]).astype(np.int32)
+    agree = (att_ids == ids)
+    # JFA tie-breaks may differ between the two builds; require bulk
+    # agreement and identical emptiness
+    assert np.mean(agree) > 0.99
+    np.testing.assert_array_equal(att_ids < 0, ids < 0)
+
+
+def test_empty_edge_map_att_shape():
+    from rebvio_tpu import types as T
+
+    em = T.empty_edge_map(64, 40, 56, 2)
+    assert em.att_img.shape == (8, (40 // 2) * (56 // 2))
