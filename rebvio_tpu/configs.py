@@ -87,6 +87,12 @@ class EdgeDetectorConfig:
     min_threshold: float = 0.005
     num_bins: int = 100              # histogram bins for auto-threshold
     max_image_value: float = 765.0   # 255 * 3 input gain (edge_detector.cpp:21)
+    # Run the frontend's banded MXU sandwiches (blur cascade + 5x5 window
+    # reductions) with bf16 operands / f32 accumulation.  OFF for the parity
+    # profile (reference anchoring wants exact-f32 DoG); the fast profile
+    # turns it on under its ATE-band contract (validated on the synthetic
+    # regression + reference anchors, tests/test_fast_profile.py).
+    frontend_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,7 +214,8 @@ def fast_profile(**overrides) -> PipelineConfig:
     synthetic regression to track within the same ATE band as the default
     profile (tests/test_fast_profile.py).
     """
-    det = EdgeDetectorConfig(keylines_max=8192, keylines_ref=6000)
+    det = EdgeDetectorConfig(keylines_max=8192, keylines_ref=6000,
+                             frontend_bf16=True)
     em = EdgeMapConfig(tube_probes=4)
     base = dict(detector=det, edge_map=em, field_scale=2)
     base.update(overrides)

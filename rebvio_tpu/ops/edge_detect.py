@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from rebvio_tpu import types as T
 from rebvio_tpu.configs import CameraConfig, EdgeDetectorConfig
-from rebvio_tpu.ops.scale_space import FrontendMatrices, build_scale_space
+from rebvio_tpu.ops.scale_space import FrontendMatrices, _mxu_dot, build_scale_space
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam", "field_scale"))
@@ -93,7 +93,8 @@ def _detect_core(
     pfs = cfg.plane_fit_size
     kmax = cfg.keylines_max
 
-    s0, dog, mag = build_scale_space(image, mats)
+    bf16 = getattr(cfg, "frontend_bf16", False)
+    s0, dog, mag = build_scale_space(image, mats, bf16=bf16)
 
     # --- dense gates (edge_detector.cpp:69-107) ---
     n_win = (2 * pfs + 1) ** 2
@@ -109,13 +110,15 @@ def _detect_core(
     # Sxx = Syy = 50, area = 25 for the 5x5 window.
     sxx = float((2 * pfs + 1) * sum(i * i for i in range(-pfs, pfs + 1)))
     sign_map = jnp.where(dog > 0.0, 1.0, -1.0)
-    dogXW = dog @ mats.XW
-    lcat = mats.S5H @ jnp.concatenate([sign_map, dog, dogXW], axis=1)  # [H,3W]
+    dogXW = _mxu_dot(dog, mats.XW, bf16)
+    lcat = _mxu_dot(mats.S5H,
+                    jnp.concatenate([sign_map, dog, dogXW], axis=1), bf16)  # [H,3W]
     S5Hsign = lcat[:, :W]
     S5Hdog = lcat[:, W:2 * W]
     t0 = lcat[:, 2 * W:] / sxx
-    YHdog = mats.YH @ dog
-    rcat = jnp.concatenate([S5Hsign, S5Hdog, YHdog], axis=0) @ mats.S5W  # [3H,W]
+    YHdog = _mxu_dot(mats.YH, dog, bf16)
+    rcat = _mxu_dot(jnp.concatenate([S5Hsign, S5Hdog, YHdog], axis=0),
+                    mats.S5W, bf16)  # [3H,W]
     pn = rcat[:H]
     t2 = rcat[H:2 * H] / float(n_win)
     t1 = rcat[2 * H:] / sxx

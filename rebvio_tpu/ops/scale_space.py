@@ -23,6 +23,7 @@ ops, so they upload to the device once.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -126,9 +127,22 @@ class ScaleSpaceParams:
         )
 
 
-@jax.jit
+def _mxu_dot(a: jnp.ndarray, b: jnp.ndarray, bf16: bool) -> jnp.ndarray:
+    """Banded-operator matmul at the chosen MXU precision.
+
+    bf16 operands run at the MXU's native rate (f32 matmuls are emulated in
+    multiple bf16 passes); accumulation stays f32.  Only used where the
+    profile opts in (EdgeDetectorConfig.frontend_bf16 — the fast profile's
+    ATE-band contract, not the parity profile's reference anchoring)."""
+    if not bf16:
+        return a @ b
+    return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("bf16",))
 def build_scale_space(
-    img: jnp.ndarray, mats: FrontendMatrices
+    img: jnp.ndarray, mats: FrontendMatrices, bf16: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (scale0, dog, mag) for a float image (scale_space.cpp:203-233).
 
@@ -138,9 +152,9 @@ def build_scale_space(
     cost to amortize).
     """
     H, W = img.shape
-    left = mats.LL @ img                                      # [2H,W]
-    s0 = left[:H] @ mats.R0
-    s1 = left[H:] @ mats.R1
+    left = _mxu_dot(mats.LL, img, bf16)                       # [2H,W]
+    s0 = _mxu_dot(left[:H], mats.R0, bf16)
+    s1 = _mxu_dot(left[H:], mats.R1, bf16)
     dog = s1 - s0
     # central differences as shifted slices (VPU, no matmul); borders zeroed
     # via a fused iota mask (the reference computes interior pixels only) —
