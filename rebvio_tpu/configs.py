@@ -217,6 +217,14 @@ def fast_profile(**overrides) -> PipelineConfig:
     det = EdgeDetectorConfig(keylines_max=8192, keylines_ref=6000,
                              frontend_bf16=True)
     em = EdgeMapConfig(tube_probes=4)
+    # field_scale stays 2: a third-resolution field (scale 3) would shrink
+    # the field block ~2x and even tightens the reference-anchor cross-ATE
+    # (0.017 vs 0.054 m on the 60-frame seed-0 golden), but it MISSES the
+    # fast-vs-default ATE band on the synthetic VO regression (0.039 vs
+    # <= 0.023, tests/test_fast_profile.py) and was rejected; scale 4 is
+    # worse on both counts (cross 0.095, GT-ATE 0.364 vs 0.253).  The
+    # general-s dense seeding it required is kept and tested
+    # (test_seed_stack_dense_matches_scatter_seeding).
     base = dict(detector=det, edge_map=em, field_scale=2)
     base.update(overrides)
     return PipelineConfig(**base)

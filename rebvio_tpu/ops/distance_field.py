@@ -357,21 +357,26 @@ def seed_stack_dense(
     # fill is safe everywhere: key = -1 rejects the candidate before the
     # fr/fc comparison matters.
     planes7 = jnp.stack([idm, fr, fc, py, px, gx, gy])  # [7,H,W]
-    if s == 2:
-        Hp, Wp = H + (H % 2), W + (W % 2)
+    if s > 1:
+        # general-s parity decomposition (s == 2 was the r5 original; the
+        # same construction works for any stride): phase plane (ry, cx)
+        # holds pixels (s*m + ry, s*n + cx), so tap (dy, dx) with
+        # |dy|,|dx| <= 1 < s is phase (dy mod s, dx mod s), shifted one
+        # whole CELL toward the origin when the offset is negative.
+        Hp, Wp = -(-H // s) * s, -(-W // s) * s
         p7 = jnp.pad(planes7, ((0, 0), (0, Hp - H), (0, Wp - W)),
                      constant_values=-1.0)
-        rows2 = p7.reshape(7, Hp // 2, 2, Wp)
+        rows_s = p7.reshape(7, Hp // s, s, Wp)
         par = {}
-        for ry in (0, 1):
-            q = rows2[:, :, ry, :]                       # [7, Hp/2, Wp]
-            qt = q.transpose(0, 2, 1)                    # [7, Wp, Hp/2]
-            cols2 = qt.reshape(7, Wp // 2, 2, Hp // 2)
-            for cx in (0, 1):
-                par[(ry, cx)] = cols2[:, :, cx, :].transpose(0, 2, 1)
+        for ry in range(s):
+            q = rows_s[:, :, ry, :]                      # [7, Hp/s, Wp]
+            qt = q.transpose(0, 2, 1)                    # [7, Wp, Hp/s]
+            cols_s = qt.reshape(7, Wp // s, s, Hp // s)
+            for cx in range(s):
+                par[(ry, cx)] = cols_s[:, :, cx, :].transpose(0, 2, 1)
 
         def tap7(dy, dx):
-            q = par[(1 if dy else 0, 1 if dx else 0)]
+            q = par[(dy % s, dx % s)]
             if dy < 0:
                 q = jnp.pad(q, ((0, 0), (1, 0), (0, 0)),
                             constant_values=-1.0)[:, :-1, :]

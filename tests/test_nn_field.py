@@ -192,3 +192,57 @@ def test_empty_edge_map_att_shape():
 
     em = T.empty_edge_map(64, 40, 56, 2)
     assert em.att_img.shape == (8, (40 // 2) * (56 // 2))
+
+
+def test_seed_stack_dense_matches_scatter_seeding():
+    """seed_stack_dense (the detector-plane dense seeding fast path, incl.
+    the general-s parity decomposition added for the fast profile's scale-3
+    field) must flood to EXACTLY the same attribute field as the scatter-
+    seeded att_field_pallas: both build the same seed stack content, and
+    the flood is deterministic.  Covers scales 2 and 3 in interpret mode."""
+    from rebvio_tpu import types as T
+    from rebvio_tpu.ops.pallas_kernels import _att_flood, att_field_pallas
+
+    rng = np.random.RandomState(7)
+    H, W, K, kmax, R = 24, 36, 40, 64, 8
+    flat = np.sort(rng.choice(np.arange(W + 1, (H - 1) * W - 1), K,
+                              replace=False))
+    r, c = flat // W, flat % W
+    sub = rng.uniform(-0.45, 0.45, (2, K)).astype(np.float32)
+    g = rng.randn(2, K).astype(np.float32)
+
+    kl_id = np.full((H, W), -1, np.int32)
+    kl_id[r, c] = np.arange(K)
+    xs = np.zeros((H, W), np.float32); xs[r, c] = sub[0]
+    ys = np.zeros((H, W), np.float32); ys[r, c] = sub[1]
+    t0 = np.zeros((H, W), np.float32); t0[r, c] = g[0]
+    t1 = np.zeros((H, W), np.float32); t1[r, c] = g[1]
+
+    em = T.empty_edge_map(kmax, H, W, 1)
+    pos = np.zeros((kmax, 2), np.float32)
+    pos[:K, 0] = c + sub[0]
+    pos[:K, 1] = r + sub[1]
+    grad = np.zeros((kmax, 2), np.float32)
+    grad[:K] = g.T
+    em = em.replace(
+        pos=jnp.asarray(pos), grad=jnp.asarray(grad),
+        grad_norm=jnp.asarray(np.hypot(grad[:, 0], grad[:, 1])),
+        valid=jnp.asarray(np.arange(kmax) < K),
+        threshold=jnp.float32(0.0),
+    )
+
+    for s in (2, 3):
+        frows, fcols = -(-H // s), -(-W // s)
+        sr = max(1, round(R / s))
+        stack = DF.seed_stack_dense(
+            jnp.asarray(kl_id), jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(t0), jnp.asarray(t1), jnp.float32(0.0),
+            R, H, W, s)
+        got = np.asarray(_att_flood(stack, sr, frows, fcols, s,
+                                    interpret=True))
+        want = np.asarray(att_field_pallas(em, R, H, W, scale=s,
+                                           interpret=True))
+        np.testing.assert_array_equal(
+            got[DF.ATT_ID], want[DF.ATT_ID], err_msg=f"scale {s}")
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5,
+                                   err_msg=f"scale {s}")
