@@ -540,7 +540,7 @@ def reg_ekf_pallas(
 
 def try_vel_pallas(
     old: T.EdgeMap,
-    att: jnp.ndarray,           # [N,8] attribute field (build_att_field)
+    att: jnp.ndarray,           # [N,8] attribute ROW view (distance_field.att_rows)
     vel: jnp.ndarray,           # [3]
     sigma_rho_min: jnp.ndarray,  # []
     residuals: jnp.ndarray,     # [K]
